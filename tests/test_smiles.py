@@ -1,0 +1,211 @@
+"""SMILES parser + perception tests against hand-derived chemistry facts."""
+
+import numpy as np
+import pytest
+
+from mgat_graphsage_tpu.chem import (
+    MolFromSmiles,
+    SmilesParseError,
+    parse_smiles,
+)
+from mgat_graphsage_tpu.chem.smiles import SP, SP2, SP3
+
+
+def test_methane_and_simple_chains():
+    m = parse_smiles("C")
+    assert m.GetNumAtoms() == 1
+    a = m.GetAtomWithIdx(0)
+    assert a.GetSymbol() == "C"
+    assert a.GetTotalNumHs() == 4
+    assert a.GetDegree() == 0
+    assert a.GetHybridization() == SP3
+
+    m = parse_smiles("CCO")  # ethanol
+    assert m.GetNumAtoms() == 3
+    assert [a.GetSymbol() for a in m.GetAtoms()] == ["C", "C", "O"]
+    assert [a.GetTotalNumHs() for a in m.GetAtoms()] == [3, 2, 1]
+    assert [a.GetDegree() for a in m.GetAtoms()] == [1, 2, 1]
+    assert m.GetNumBonds() == 2
+
+
+def test_double_triple_bonds():
+    m = parse_smiles("C=C")  # ethylene
+    assert all(a.GetTotalNumHs() == 2 for a in m.GetAtoms())
+    assert all(a.GetHybridization() == SP2 for a in m.GetAtoms())
+    assert m.GetBonds()[0].order == 2
+
+    m = parse_smiles("C#N")  # HCN
+    assert m.GetAtomWithIdx(0).GetTotalNumHs() == 1
+    assert m.GetAtomWithIdx(1).GetTotalNumHs() == 0
+    assert all(a.GetHybridization() == SP for a in m.GetAtoms())
+
+
+def test_branching():
+    m = parse_smiles("CC(C)C")  # isobutane
+    assert m.GetNumAtoms() == 4
+    center = m.GetAtomWithIdx(1)
+    assert center.GetDegree() == 3
+    assert center.GetTotalNumHs() == 1
+
+    m = parse_smiles("CC(=O)O")  # acetic acid
+    assert [a.GetSymbol() for a in m.GetAtoms()] == ["C", "C", "O", "O"]
+    assert m.GetAtomWithIdx(2).GetTotalNumHs() == 0
+    assert m.GetAtomWithIdx(3).GetTotalNumHs() == 1
+    assert m.GetAtomWithIdx(1).GetHybridization() == SP2
+
+
+def test_aromatic_lowercase_benzene():
+    m = parse_smiles("c1ccccc1")
+    assert m.GetNumAtoms() == 6
+    assert all(a.GetIsAromatic() for a in m.GetAtoms())
+    assert all(a.GetTotalNumHs() == 1 for a in m.GetAtoms())
+    assert all(a.GetHybridization() == SP2 for a in m.GetAtoms())
+    assert all(a.IsInRing() for a in m.GetAtoms())
+    assert m.GetNumBonds() == 6
+    assert m.NumRings() == 1
+
+
+def test_kekule_benzene_aromatized():
+    m = parse_smiles("C1=CC=CC=C1")
+    assert all(a.GetIsAromatic() for a in m.GetAtoms())
+    assert all(a.GetTotalNumHs() == 1 for a in m.GetAtoms())
+
+
+def test_pyridine_pyrrole_furan():
+    m = parse_smiles("c1ccncc1")  # pyridine
+    n_atom = [a for a in m.GetAtoms() if a.GetSymbol() == "N"][0]
+    assert n_atom.GetIsAromatic()
+    assert n_atom.GetTotalNumHs() == 0
+
+    m = parse_smiles("c1cc[nH]c1")  # pyrrole
+    n_atom = [a for a in m.GetAtoms() if a.GetSymbol() == "N"][0]
+    assert n_atom.GetTotalNumHs() == 1
+    assert n_atom.GetIsAromatic()
+
+    m = parse_smiles("c1ccoc1")  # furan
+    o_atom = [a for a in m.GetAtoms() if a.GetSymbol() == "O"][0]
+    assert o_atom.GetTotalNumHs() == 0
+    assert o_atom.GetIsAromatic()
+
+
+def test_charges_and_brackets():
+    m = parse_smiles("[NH4+]")
+    a = m.GetAtomWithIdx(0)
+    assert a.GetFormalCharge() == 1
+    assert a.GetTotalNumHs() == 4
+
+    m = parse_smiles("CC(=O)[O-]")
+    assert m.GetAtomWithIdx(3).GetFormalCharge() == -1
+    assert m.GetAtomWithIdx(3).GetTotalNumHs() == 0
+
+    m = parse_smiles("[13CH4]")
+    assert m.GetAtomWithIdx(0).isotope == 13
+    assert m.GetAtomWithIdx(0).GetTotalNumHs() == 4
+
+
+def test_two_letter_atoms_and_halogens():
+    m = parse_smiles("ClCCBr")
+    assert [a.GetSymbol() for a in m.GetAtoms()] == ["Cl", "C", "C", "Br"]
+    assert m.GetAtomWithIdx(0).GetTotalNumHs() == 0
+
+    m = parse_smiles("C[Se]C")
+    assert m.GetAtomWithIdx(1).GetSymbol() == "Se"
+
+
+def test_ring_closures_and_percent():
+    m = parse_smiles("C1CCCCC1")  # cyclohexane
+    assert m.GetNumBonds() == 6
+    assert all(a.IsInRing() for a in m.GetAtoms())
+    assert all(a.GetTotalNumHs() == 2 for a in m.GetAtoms())
+    assert all(a.GetHybridization() == SP3 for a in m.GetAtoms())
+
+    m = parse_smiles("C%10CCCCC%10")
+    assert m.GetNumBonds() == 6
+
+
+def test_fused_rings_naphthalene():
+    m = parse_smiles("c1ccc2ccccc2c1")
+    assert m.GetNumAtoms() == 10
+    assert m.GetNumBonds() == 11
+    assert m.NumRings() == 2
+    assert all(a.GetIsAromatic() for a in m.GetAtoms())
+    fusion = [a for a in m.GetAtoms() if a.GetDegree() == 3]
+    assert len(fusion) == 2
+    assert all(a.GetTotalNumHs() == 0 for a in fusion)
+
+
+def test_disconnected_fragments():
+    m = parse_smiles("[Na+].[Cl-]")
+    assert m.GetNumAtoms() == 2
+    assert m.GetNumBonds() == 0
+
+    m = parse_smiles("CCO.CC")
+    assert m.GetNumAtoms() == 5
+    assert m.GetNumBonds() == 3
+
+
+def test_explicit_h_atoms_folded():
+    m = parse_smiles("[H]OC([H])([H])[H]")  # methanol with explicit Hs
+    assert m.GetNumAtoms() == 2
+    o = [a for a in m.GetAtoms() if a.GetSymbol() == "O"][0]
+    c = [a for a in m.GetAtoms() if a.GetSymbol() == "C"][0]
+    assert o.GetTotalNumHs() == 1
+    assert c.GetTotalNumHs() == 3
+
+
+def test_caffeine():
+    m = parse_smiles("Cn1cnc2c1c(=O)n(C)c(=O)n2C")
+    assert m.GetNumAtoms() == 14
+    syms = sorted(a.GetSymbol() for a in m.GetAtoms())
+    assert syms.count("N") == 4 and syms.count("O") == 2 and syms.count("C") == 8
+    assert m.NumRings() == 2
+    # the three methyl carbons
+    methyls = [a for a in m.GetAtoms() if a.GetTotalNumHs() == 3]
+    assert len(methyls) == 3
+
+
+def test_aspirin():
+    m = parse_smiles("CC(=O)Oc1ccccc1C(=O)O")
+    assert m.GetNumAtoms() == 13
+    assert m.NumRings() == 1
+    aromatic = [a for a in m.GetAtoms() if a.GetIsAromatic()]
+    assert len(aromatic) == 6
+
+
+def test_stereo_markers_ignored_gracefully():
+    m = parse_smiles("C/C=C/C")  # trans-2-butene
+    assert m.GetNumAtoms() == 4
+    assert m.GetBonds()[1].order == 2
+    m = parse_smiles("C[C@H](N)C(=O)O")  # L-alanine
+    assert m.GetNumAtoms() == 6
+    c = m.GetAtomWithIdx(1)
+    assert c.GetTotalNumHs() == 1
+
+
+def test_invalid_smiles():
+    for bad in ["", "C(", "C1CC", "CX", "C)(", "[C", "%5C", "1CC"]:
+        assert MolFromSmiles(bad) is None
+    with pytest.raises(SmilesParseError):
+        parse_smiles("C(C")
+
+
+def test_sulfur_valences():
+    m = parse_smiles("CS(=O)(=O)C")  # dimethyl sulfone: S valence 6
+    s = [a for a in m.GetAtoms() if a.GetSymbol() == "S"][0]
+    assert s.GetTotalNumHs() == 0
+    m = parse_smiles("CSC")  # thioether
+    s = [a for a in m.GetAtoms() if a.GetSymbol() == "S"][0]
+    assert s.GetTotalNumHs() == 0
+    m = parse_smiles("CS")  # methanethiol
+    s = [a for a in m.GetAtoms() if a.GetSymbol() == "S"][0]
+    assert s.GetTotalNumHs() == 1
+
+
+def test_nitro_group_and_amide():
+    m = parse_smiles("C[N+](=O)[O-]")  # nitromethane
+    n = [a for a in m.GetAtoms() if a.GetSymbol() == "N"][0]
+    assert n.GetFormalCharge() == 1
+    assert n.GetTotalNumHs() == 0
+    m = parse_smiles("CC(=O)N")  # acetamide
+    n = [a for a in m.GetAtoms() if a.GetSymbol() == "N"][0]
+    assert n.GetTotalNumHs() == 2
