@@ -1,0 +1,245 @@
+"""CSV -> fixed-shape padded TPU batches.
+
+Replaces the reference's per-script pandas + PyG ``DataLoader`` pipeline
+(reference ``train.py:163-210``): read a ``Smiles,pchembl`` CSV, standardize
+targets with a train-fit scaler (``train.py:173-181``), featurize each
+molecule, and batch.
+
+TPU-first design: PyG concatenates variable-size graphs dynamically, which
+would force an XLA recompile per batch shape.  Here every molecule is padded
+to a per-dataset ``(max_nodes, max_edges)`` budget so batches have ONE static
+shape: ``nodes [B, N, F]``, ``edges [B, 2, E]``, ``node_mask [B, N]``,
+``edge_mask [B, E]``, ``fp [B, nbits]``, ``y/y_orig [B]``, ``sample_mask``
+(0 rows pad the final partial batch to full size).  Dense per-molecule
+adjacency for the MXU message-passing path is built on device from the edge
+lists (see ``ops/graph.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..chem import smiles_to_graph
+from ..chem.fingerprints import FINGERPRINTS
+
+__all__ = [
+    "StandardScaler",
+    "GraphBatch",
+    "MolecularDataset",
+    "load_csv",
+    "pad_to_multiple",
+]
+
+
+class StandardScaler:
+    """Mean/std target scaler (sklearn-semantics: ddof=0), two floats.
+
+    The reference pickles an sklearn ``StandardScaler`` into its checkpoint
+    (``train.py:173-181,294``); we store the two floats as arrays so the
+    scaler rides inside JAX checkpoints and jitted de-normalization.
+    """
+
+    def __init__(self, mean: float = 0.0, scale: float = 1.0):
+        self.mean_ = float(mean)
+        self.scale_ = float(scale)
+
+    def fit(self, y: np.ndarray) -> "StandardScaler":
+        y = np.asarray(y, dtype=np.float64).reshape(-1)
+        self.mean_ = float(y.mean())
+        std = float(y.std())
+        self.scale_ = std if std > 0 else 1.0
+        return self
+
+    def fit_transform(self, y: np.ndarray) -> np.ndarray:
+        return self.fit(y).transform(y)
+
+    def transform(self, y):
+        return (np.asarray(y, dtype=np.float32) - self.mean_) / self.scale_
+
+    def inverse_transform(self, y):
+        return np.asarray(y, dtype=np.float32) * self.scale_ + self.mean_
+
+    def to_dict(self) -> Dict[str, float]:
+        return {"mean": self.mean_, "scale": self.scale_}
+
+    @classmethod
+    def from_dict(cls, d) -> "StandardScaler":
+        return cls(d["mean"], d["scale"])
+
+
+@dataclasses.dataclass
+class GraphBatch:
+    """One fixed-shape batch. All arrays are numpy on host; the trainer
+    moves them to device."""
+
+    nodes: np.ndarray        # [B, N, F] float32
+    edges: np.ndarray        # [B, 2, E] int32 (COO, both directions)
+    node_mask: np.ndarray    # [B, N] float32
+    edge_mask: np.ndarray    # [B, E] float32
+    fp: np.ndarray           # [B, nbits] float32 (zeros if no fingerprint)
+    y: np.ndarray            # [B] float32 (normalized target)
+    y_orig: np.ndarray       # [B] float32 (original-scale target)
+    sample_mask: np.ndarray  # [B] float32 (0 = padding row)
+
+    def as_dict(self) -> Dict[str, np.ndarray]:
+        return dataclasses.asdict(self)
+
+    @property
+    def batch_size(self) -> int:
+        return self.nodes.shape[0]
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def load_csv(path: str, smiles_column: str = "Smiles",
+             target_column: str = "pchembl") -> Tuple[List[str], np.ndarray]:
+    """Minimal CSV reader for the reference schema (no pandas needed on the
+    hot path; quotes not required by the schema)."""
+    import csv
+
+    smiles, targets = [], []
+    with open(path, newline="") as f:
+        reader = csv.DictReader(f)
+        for row in reader:
+            smiles.append(row[smiles_column])
+            targets.append(float(row[target_column]))
+    return smiles, np.asarray(targets, dtype=np.float32)
+
+
+class MolecularDataset:
+    """Featurized, padded, batchable dataset.
+
+    Invalid SMILES are skipped with a log line, matching the reference's
+    try/except-print semantics (``train.py:184-194``).
+    """
+
+    def __init__(
+        self,
+        smiles: List[str],
+        targets: np.ndarray,
+        scaler: Optional[StandardScaler] = None,
+        fit_scaler: bool = False,
+        fingerprint: Optional[str] = "ecfp1024",
+        featurizer: str = "35",
+        max_nodes: Optional[int] = None,
+        max_edges: Optional[int] = None,
+        node_multiple: int = 8,
+        verbose: bool = True,
+    ):
+        targets = np.asarray(targets, dtype=np.float32).reshape(-1)
+        graphs, fps, kept_targets, kept_smiles = [], [], [], []
+        fp_fn = FINGERPRINTS[fingerprint] if fingerprint else None
+        for smi, y in zip(smiles, targets):
+            try:
+                feats, edge_index = smiles_to_graph(str(smi),
+                                                    featurizer=featurizer)
+                fp = fp_fn(str(smi))[0] if fp_fn else None
+            except ValueError as e:
+                if verbose:
+                    print(e)
+                continue
+            graphs.append((feats, edge_index))
+            fps.append(fp)
+            kept_targets.append(y)
+            kept_smiles.append(str(smi))
+
+        if not graphs:
+            raise ValueError("No valid molecules in dataset")
+
+        self.smiles = kept_smiles
+        self.y_orig = np.asarray(kept_targets, dtype=np.float32)
+        if scaler is None:
+            scaler = StandardScaler()
+            if fit_scaler:
+                scaler.fit(self.y_orig)
+        elif fit_scaler:
+            scaler.fit(self.y_orig)
+        self.scaler = scaler
+        self.y = scaler.transform(self.y_orig).astype(np.float32)
+
+        obs_nodes = max(g[0].shape[0] for g in graphs)
+        obs_edges = max(g[1].shape[1] for g in graphs)
+        self.max_nodes = max_nodes or pad_to_multiple(obs_nodes, node_multiple)
+        self.max_edges = max_edges or pad_to_multiple(max(obs_edges, 1), 16)
+        self.feature_dim = graphs[0][0].shape[1]
+        self.fp_dim = len(fps[0]) if fps[0] is not None else 0
+        self.fingerprint = fingerprint
+
+        n = len(graphs)
+        self.nodes = np.zeros((n, self.max_nodes, self.feature_dim), np.float32)
+        self.edges = np.zeros((n, 2, self.max_edges), np.int32)
+        self.node_mask = np.zeros((n, self.max_nodes), np.float32)
+        self.edge_mask = np.zeros((n, self.max_edges), np.float32)
+        self.fp = np.zeros((n, max(self.fp_dim, 1)), np.float32)
+        dropped = 0
+        for i, (feats, edge_index) in enumerate(graphs):
+            nn, ne = feats.shape[0], edge_index.shape[1]
+            if nn > self.max_nodes or ne > self.max_edges:
+                dropped += 1
+                continue
+            self.nodes[i, :nn] = feats
+            self.edges[i, :, :ne] = edge_index
+            self.node_mask[i, :nn] = 1.0
+            self.edge_mask[i, :ne] = 1.0
+            if fps[i] is not None:
+                self.fp[i] = fps[i]
+        if dropped and verbose:
+            print(f"[data] dropped {dropped} molecules over the "
+                  f"({self.max_nodes},{self.max_edges}) budget")
+        self.n = n
+
+    def __len__(self) -> int:
+        return self.n
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                seed: int = 0, drop_last: bool = False,
+                pad_final: bool = True) -> Iterator[GraphBatch]:
+        """Yield fixed-shape batches; the final partial batch is padded to
+        ``batch_size`` with ``sample_mask`` zeros (so jit sees one shape)."""
+        idx = np.arange(self.n)
+        if shuffle:
+            idx = np.random.default_rng(seed).permutation(self.n)
+        for start in range(0, self.n, batch_size):
+            sel = idx[start:start + batch_size]
+            if len(sel) < batch_size:
+                if drop_last:
+                    return
+                if pad_final:
+                    pad = np.zeros(batch_size - len(sel), dtype=sel.dtype)
+                    mask = np.concatenate([
+                        np.ones(len(sel), np.float32),
+                        np.zeros(batch_size - len(sel), np.float32)])
+                    sel = np.concatenate([sel, pad])
+                else:
+                    mask = np.ones(len(sel), np.float32)
+            else:
+                mask = np.ones(batch_size, np.float32)
+            yield GraphBatch(
+                nodes=self.nodes[sel],
+                edges=self.edges[sel],
+                node_mask=self.node_mask[sel],
+                edge_mask=self.edge_mask[sel],
+                fp=self.fp[sel],
+                y=self.y[sel],
+                y_orig=self.y_orig[sel],
+                sample_mask=mask,
+            )
+
+    def num_batches(self, batch_size: int, drop_last: bool = False) -> int:
+        if drop_last:
+            return self.n // batch_size
+        return (self.n + batch_size - 1) // batch_size
+
+
+def write_csv(path: str, smiles: List[str], targets) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write("Smiles,pchembl\n")
+        for s, y in zip(smiles, targets):
+            f.write(f"{s},{y:.4f}\n")
