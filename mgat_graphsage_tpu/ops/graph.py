@@ -1,0 +1,115 @@
+"""Dense, mask-aware graph primitives (the TPU compute path).
+
+Design: molecules are tiny graphs (11-94 atoms, reference ``README.md:127``),
+so instead of PyG-style sparse gather/scatter (the reference's implicit
+native layer — PyG's C++/CUDA scatter ops), message passing is phrased as
+**batched dense matmuls on the MXU**: a per-molecule adjacency ``[B, N, N]``
+is materialized on device from the padded edge list once per batch, and
+every conv (GCN/SAGE/GAT/GIN/Cheb) becomes ``adj @ x`` with masking.  For a
+94-atom budget this is strictly faster on TPU than scatter: the MXU runs a
+128x128 systolic tile per cycle while scatter serializes through the VPU.
+
+All ops are shape-polymorphic over leading batch dims and fully masked so
+padding never leaks into results.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "dense_adjacency",
+    "add_self_loops",
+    "degree",
+    "masked_softmax",
+    "segment_max_pool",
+    "segment_mean_pool",
+    "segment_sum_pool",
+    "gcn_norm_adjacency",
+]
+
+_NEG_INF = -1e9
+
+
+def dense_adjacency(edges: jnp.ndarray, edge_mask: jnp.ndarray,
+                    num_nodes: int) -> jnp.ndarray:
+    """Build dense per-graph adjacency from a padded COO edge list.
+
+    Args:
+      edges: ``[B, 2, E]`` int32, ``edges[:, 0]`` = source, ``edges[:, 1]`` =
+        destination (both directions present, reference ``train.py:46-55``).
+      edge_mask: ``[B, E]`` 1.0 for real edges.
+      num_nodes: padded node count N.
+
+    Returns ``[B, N, N]`` float32 with ``adj[b, dst, src] = 1`` — row ``i``
+    holds the in-neighborhood of node ``i``, so ``adj @ x`` aggregates
+    messages from sources into destinations (PyG flow ``source_to_target``).
+    """
+    def one(e, m):
+        src, dst = e[0], e[1]
+        adj = jnp.zeros((num_nodes, num_nodes), jnp.float32)
+        adj = adj.at[dst, src].add(m)
+        return jnp.minimum(adj, 1.0)
+
+    return jax.vmap(one)(edges, edge_mask)
+
+
+def add_self_loops(adj: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """adj + I on valid nodes only."""
+    eye = jnp.eye(adj.shape[-1], dtype=adj.dtype)
+    return jnp.minimum(adj + eye * node_mask[..., None, :] *
+                       node_mask[..., :, None], 1.0)
+
+
+def degree(adj: jnp.ndarray) -> jnp.ndarray:
+    """Row degree ``[B, N]`` (in-degree under our dst-row convention)."""
+    return adj.sum(-1)
+
+
+def gcn_norm_adjacency(adj: jnp.ndarray, node_mask: jnp.ndarray,
+                       add_loops: bool = True) -> jnp.ndarray:
+    """Symmetric GCN normalization ``D^-1/2 (A [+ I]) D^-1/2`` (PyG
+    ``GCNConv`` semantics with ``add_self_loops=True``)."""
+    if add_loops:
+        adj = add_self_loops(adj, node_mask)
+    deg = degree(adj)
+    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    return adj * inv_sqrt[..., :, None] * inv_sqrt[..., None, :]
+
+
+def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray,
+                   axis: int = -1) -> jnp.ndarray:
+    """Softmax over ``axis`` with masked entries excluded.
+
+    ``mask`` broadcasts against ``scores``; fully-masked rows return zeros
+    (not NaN) so padded query rows are inert.
+    """
+    neg = jnp.where(mask > 0, 0.0, _NEG_INF)
+    s = scores + neg
+    s_max = jax.lax.stop_gradient(jnp.max(s, axis=axis, keepdims=True))
+    unnorm = jnp.exp(s - s_max) * (mask > 0)
+    denom = unnorm.sum(axis=axis, keepdims=True)
+    return unnorm / jnp.maximum(denom, 1e-16)
+
+
+def segment_max_pool(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked global max pool ``[B, N, F] -> [B, F]`` (PyG
+    ``global_max_pool``, reference ``train.py:119``). Graphs with zero valid
+    nodes pool to 0."""
+    neg = jnp.where(node_mask[..., None] > 0, 0.0, _NEG_INF)
+    pooled = jnp.max(x + neg, axis=-2)
+    any_valid = node_mask.max(axis=-1, keepdims=True) > 0
+    return jnp.where(any_valid, pooled, 0.0)
+
+
+def segment_mean_pool(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked global mean pool (PyG ``global_mean_pool``)."""
+    s = (x * node_mask[..., None]).sum(-2)
+    cnt = jnp.maximum(node_mask.sum(-1, keepdims=True), 1.0)
+    return s / cnt
+
+
+def segment_sum_pool(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked global add pool (PyG ``global_add_pool``)."""
+    return (x * node_mask[..., None]).sum(-2)

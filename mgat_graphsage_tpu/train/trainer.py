@@ -1,0 +1,353 @@
+"""The jitted training engine.
+
+Replaces the reference's per-script epoch loops (``train.py:229-298``,
+``gnn/graphsage.py:117-144``) with ONE engine:
+
+- a single jitted ``train_step`` (forward + loss + backward + Adam update,
+  donated state) and jitted ``eval_step`` — the whole step is one XLA
+  program per batch shape, so per-step Python overhead is a dict lookup;
+- torch-``optim.Adam`` semantics: L2-coupled weight decay applied to the
+  gradient *before* the moment updates (``optax.add_decayed_weights``
+  chained ahead of ``scale_by_adam``), matching ``train.py:216-222``;
+- loss = masked MSE + lambda_KL * KL over the combined latent for hybrid
+  configs (``train.py:244-246``), plain MSE otherwise;
+- per-epoch validation with best-checkpoint selection on either the
+  normalized-MSE or the original-scale MSE (``train.py:284``), replicating
+  the reference's mean-of-per-batch-MSEs quirk (``train.py:278``);
+- data-parallel execution over a ``jax.sharding.Mesh``: batches sharded on
+  the ``data`` axis, params replicated; XLA inserts the gradient
+  all-reduce (SPMD) — this is the TPU-native replacement for the
+  reference's absent distributed layer (SURVEY.md §2.4);
+- checkpoint/resume (reference saves only; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..data import GraphBatch, MolecularDataset
+from ..models import (
+    ChebNet,
+    GATGCN,
+    GATGraphSAGE,
+    GATNet,
+    GCNNet,
+    GINConvNet,
+    HybridModel,
+    SAGENet,
+    kl_loss,
+)
+from ..chem.fingerprints import FINGERPRINT_DIMS
+from ..ops import dense_adjacency
+from ..parallel import make_mesh, replicate, shard_batch
+from .checkpoint import load_checkpoint, save_checkpoint
+from .config import TrainConfig
+
+__all__ = ["TrainState", "Trainer", "build_model", "make_optimizer"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def build_model(cfg: TrainConfig):
+    """Config -> flax module (the reference's 15 copy-pasted model classes
+    collapse into this registry)."""
+    if cfg.model == "hybrid":
+        fp_dim = FINGERPRINT_DIMS[cfg.fingerprint]
+        return HybridModel(
+            fp_dim=fp_dim,
+            cnn_fc_hidden=512 if fp_dim >= 2048 else 256,
+            attention=cfg.attention, residual=cfg.residual,
+            flat_attention=cfg.flat_attention, dual_pool=cfg.dual_pool,
+            graph_dropout=cfg.graph_dropout)
+    if cfg.model == "gat_graphsage":
+        return GATGraphSAGE(
+            attention=cfg.attention, residual=cfg.residual,
+            flat_attention=cfg.flat_attention, dual_pool=cfg.dual_pool,
+            sage_features=cfg.sage_features, dropout=cfg.graph_dropout)
+    if cfg.model == "gcn":
+        return GCNNet(num_features_xd=5 if cfg.featurizer == "5" else 35,
+                      dropout=cfg.graph_dropout)
+    if cfg.model == "sage":
+        return SAGENet(dropout=cfg.graph_dropout)
+    if cfg.model == "gat":
+        return GATNet(dropout=cfg.graph_dropout)
+    if cfg.model == "gat_gcn":
+        return GATGCN(dropout=cfg.graph_dropout)
+    if cfg.model == "gin":
+        return GINConvNet(dropout=cfg.graph_dropout)
+    if cfg.model == "cheb":
+        return ChebNet(dropout=cfg.graph_dropout)
+    raise ValueError(f"unknown model {cfg.model!r}")
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay): L2 folded into the gradient
+    before the Adam moments (NOT decoupled AdamW)."""
+    chain = []
+    if cfg.weight_decay > 0:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    chain.append(optax.scale(-cfg.lr))
+    return optax.chain(*chain)
+
+
+def _masked_mse(pred, target, sample_mask):
+    err = (pred.reshape(-1) - target.reshape(-1)) ** 2
+    return (err * sample_mask).sum() / jnp.maximum(sample_mask.sum(), 1.0)
+
+
+class Trainer:
+    """End-to-end training driver for any config preset."""
+
+    def __init__(self, cfg: TrainConfig, train_ds: MolecularDataset,
+                 val_ds: Optional[MolecularDataset] = None,
+                 mesh: Optional[Any] = None,
+                 use_mesh: bool = False,
+                 ckpt_dir: Optional[str] = None,
+                 log_path: Optional[str] = None):
+        self.cfg = cfg
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.model = build_model(cfg)
+        self.tx = make_optimizer(cfg)
+        self.mesh = mesh or (make_mesh() if use_mesh else None)
+        self.ckpt_dir = ckpt_dir
+        self.log_path = log_path
+        self.scaler = train_ds.scaler
+        self._train_step = None
+        self._eval_step = None
+        self.history: List[Dict] = []
+
+    # ------------------------------------------------------------------
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        batch = next(self.train_ds.batches(cfg.batch_size))
+        n = batch.nodes.shape[1]
+        adj = dense_adjacency(jnp.asarray(batch.edges),
+                              jnp.asarray(batch.edge_mask), n)
+        if cfg.is_hybrid:
+            variables = self.model.init(rng, jnp.asarray(batch.nodes), adj,
+                                        jnp.asarray(batch.node_mask),
+                                        jnp.asarray(batch.fp))
+        else:
+            variables = self.model.init(rng, jnp.asarray(batch.nodes), adj,
+                                        jnp.asarray(batch.node_mask))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats,
+                           opt_state=self.tx.init(params))
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        cfg, model, tx = self.cfg, self.model, self.tx
+        is_hybrid = cfg.is_hybrid
+        kl_lambda = cfg.kl_lambda
+        mean = jnp.float32(self.scaler.mean_)
+        scale = jnp.float32(self.scaler.scale_)
+
+        def forward(params, batch_stats, batch, rng, train: bool):
+            n = batch["nodes"].shape[1]
+            adj = dense_adjacency(batch["edges"], batch["edge_mask"], n)
+            variables = {"params": params, "batch_stats": batch_stats}
+            kwargs = dict(deterministic=not train)
+            mutable = ["batch_stats"] if train else False
+            if train:
+                kwargs["rngs"] = {"dropout": rng}
+            if is_hybrid:
+                out = model.apply(variables, batch["nodes"], adj,
+                                  batch["node_mask"], batch["fp"],
+                                  mutable=mutable, **kwargs)
+                (pred, latent), new_vars = out if train else (out, {})
+            else:
+                out = model.apply(variables, batch["nodes"], adj,
+                                  batch["node_mask"], mutable=mutable,
+                                  **kwargs)
+                pred, new_vars = out if train else (out, {})
+                latent = None
+            new_bs = new_vars.get("batch_stats", batch_stats) if train \
+                else batch_stats
+            return pred, latent, new_bs
+
+        def loss_fn(params, batch_stats, batch, rng):
+            pred, latent, new_bs = forward(params, batch_stats, batch, rng,
+                                           train=True)
+            mse = _masked_mse(pred, batch["y"], batch["sample_mask"])
+            loss = mse
+            kl = jnp.float32(0.0)
+            if is_hybrid and kl_lambda > 0:
+                kl = kl_loss(latent, batch["sample_mask"])
+                loss = loss + kl_lambda * kl
+            return loss, (mse, kl, new_bs)
+
+        def train_step(state: TrainState, batch, rng):
+            (loss, (mse, kl, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                       batch, rng)
+            updates, new_opt = tx.update(grads, state.opt_state,
+                                         state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1,
+                                      params=new_params,
+                                      batch_stats=new_bs,
+                                      opt_state=new_opt)
+            return new_state, {"loss": loss, "mse": mse, "kl": kl}
+
+        def eval_step(state: TrainState, batch):
+            pred, _, _ = forward(state.params, state.batch_stats, batch,
+                                 jax.random.PRNGKey(0), train=False)
+            pred = pred.reshape(-1)
+            mse = _masked_mse(pred, batch["y"], batch["sample_mask"])
+            denorm = pred * scale + mean
+            orig_mse = _masked_mse(denorm, batch["y_orig"],
+                                   batch["sample_mask"])
+            return pred, denorm, mse, orig_mse
+
+        self._train_step = jax.jit(train_step, donate_argnums=0)
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def _to_device(self, batch: GraphBatch) -> Dict[str, jnp.ndarray]:
+        d = batch.as_dict()
+        if self.mesh is not None:
+            d = shard_batch(d, self.mesh)
+        return d
+
+    def train_epoch(self, state: TrainState, epoch: int,
+                    rng: jax.Array) -> Tuple[TrainState, Dict]:
+        if self._train_step is None:
+            self._build_steps()
+        cfg = self.cfg
+        total, n_batches = 0.0, 0
+        n_mol = 0
+        t0 = time.perf_counter()
+        for batch in self.train_ds.batches(cfg.batch_size, shuffle=True,
+                                           seed=cfg.seed + epoch):
+            rng, sub = jax.random.split(rng)
+            state, metrics = self._train_step(state, self._to_device(batch),
+                                              sub)
+            total += float(metrics["loss"])
+            n_batches += 1
+            n_mol += int(batch.sample_mask.sum())
+        dt = time.perf_counter() - t0
+        return state, {
+            "train_loss": total / max(n_batches, 1),
+            "epoch_time_s": dt,
+            "molecules_per_s": n_mol / dt if dt > 0 else 0.0,
+        }
+
+    def evaluate(self, state: TrainState,
+                 ds: Optional[MolecularDataset] = None) -> Dict:
+        """Per-epoch validation replicating reference metric semantics:
+        mean of per-batch MSEs (``train.py:278`` quirk) for both normalized
+        and original-scale targets; also returns predictions."""
+        if self._eval_step is None:
+            self._build_steps()
+        ds = ds or self.val_ds
+        cfg = self.cfg
+        mses, orig_mses = [], []
+        preds, denorms = [], []
+        for batch in ds.batches(cfg.eval_batch_size):
+            p, dn, mse, omse = self._eval_step(state, self._to_device(batch))
+            keep = batch.sample_mask > 0
+            preds.append(np.asarray(p)[keep])
+            denorms.append(np.asarray(dn)[keep])
+            mses.append(float(mse))
+            orig_mses.append(float(omse))
+        return {
+            "val_mse": float(np.mean(mses)),
+            "original_mse": float(np.mean(orig_mses)),
+            "pred": np.concatenate(preds),
+            "pred_denorm": np.concatenate(denorms),
+        }
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None,
+            state: Optional[TrainState] = None,
+            start_epoch: int = 0,
+            verbose: bool = True,
+            save_best: bool = True) -> Tuple[TrainState, TrainState, List]:
+        """Full training run; returns (final_state, best_state, history)."""
+        cfg = self.cfg
+        epochs = cfg.epochs if epochs is None else epochs
+        if state is None:
+            state = self.init_state()
+        rng = jax.random.PRNGKey(cfg.seed + 1234)
+        best_state = state
+        best_metric = float("inf")
+        best_norm_mse = float("inf")
+        for epoch in range(start_epoch, epochs):
+            rng, sub = jax.random.split(rng)
+            state, tr = self.train_epoch(state, epoch, sub)
+            row = {"epoch": epoch + 1, **tr}
+            if self.val_ds is not None:
+                ev = self.evaluate(state)
+                row["val_mse"] = ev["val_mse"]
+                row["original_mse"] = ev["original_mse"]
+                metric = ev[cfg.select_metric] if cfg.select_metric in ev \
+                    else ev["val_mse"]
+                if metric < best_metric:
+                    best_metric = metric
+                    best_norm_mse = ev["val_mse"]
+                    best_state = jax.device_get(state)
+                    row["new_best"] = True
+                    if save_best and self.ckpt_dir:
+                        self.save(os.path.join(self.ckpt_dir,
+                                               "best_model.msgpack"),
+                                  best_state, row)
+            self.history.append(row)
+            if self.log_path:
+                with open(self.log_path, "a") as f:
+                    f.write(json.dumps(
+                        {k: v for k, v in row.items()
+                         if isinstance(v, (int, float, bool, str))}) + "\n")
+            if verbose:
+                msg = (f"Epoch {epoch + 1:4d} | Train Loss: "
+                       f"{row['train_loss']:.4f}")
+                if "val_mse" in row:
+                    msg += (f" | Val MSE: {row['val_mse']:.4f} | "
+                            f"Original MSE: {row['original_mse']:.4f}")
+                if row.get("new_best"):
+                    msg += "  *** new best ***"
+                print(msg)
+        self.best_metric = best_metric
+        self.best_norm_mse = best_norm_mse
+        return state, best_state, self.history
+
+    # ------------------------------------------------------------------
+    def save(self, path: str, state: TrainState,
+             extra_meta: Optional[Dict] = None) -> None:
+        meta = {
+            "config": dataclasses.asdict(self.cfg),
+            "scaler": self.scaler.to_dict(),
+            "max_nodes": self.train_ds.max_nodes,
+            "max_edges": self.train_ds.max_edges,
+        }
+        if extra_meta:
+            meta.update({k: v for k, v in extra_meta.items()
+                         if isinstance(v, (int, float, bool, str))})
+        save_checkpoint(path, state, meta)
+
+    def load(self, path: str) -> Tuple[TrainState, Dict]:
+        target = jax.device_get(self.init_state())
+        return load_checkpoint(path, target)

@@ -1,0 +1,113 @@
+"""Graph-op tests: hand-computed semantics + padding invariance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mgat_graphsage_tpu.ops import (
+    add_self_loops,
+    dense_adjacency,
+    gcn_norm_adjacency,
+    masked_softmax,
+    segment_max_pool,
+    segment_mean_pool,
+    segment_softmax,
+    segment_sum,
+    segment_sum_pool,
+)
+
+
+def _triangle_batch(n_pad=6, e_pad=12):
+    """One triangle graph (0-1, 1-2, 2-0) padded."""
+    edges = np.zeros((1, 2, e_pad), np.int32)
+    real = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]
+    for k, (s, d) in enumerate(real):
+        edges[0, 0, k] = s
+        edges[0, 1, k] = d
+    edge_mask = np.zeros((1, e_pad), np.float32)
+    edge_mask[0, :6] = 1
+    node_mask = np.zeros((1, n_pad), np.float32)
+    node_mask[0, :3] = 1
+    return jnp.array(edges), jnp.array(edge_mask), jnp.array(node_mask)
+
+
+def test_dense_adjacency():
+    edges, edge_mask, node_mask = _triangle_batch()
+    adj = dense_adjacency(edges, edge_mask, 6)
+    assert adj.shape == (1, 6, 6)
+    expect = np.zeros((6, 6))
+    expect[0, 1] = expect[1, 0] = expect[1, 2] = expect[2, 1] = 1
+    expect[0, 2] = expect[2, 0] = 1
+    np.testing.assert_array_equal(np.asarray(adj[0]), expect)
+
+
+def test_dense_adjacency_ignores_padded_edges():
+    edges, edge_mask, node_mask = _triangle_batch()
+    # padded edge slots all point at (0,0); they must not create an edge
+    adj = dense_adjacency(edges, edge_mask, 6)
+    assert adj[0, 0, 0] == 0
+
+
+def test_self_loops_and_gcn_norm():
+    edges, edge_mask, node_mask = _triangle_batch()
+    adj = dense_adjacency(edges, edge_mask, 6)
+    loops = add_self_loops(adj, node_mask)
+    assert float(loops[0, 0, 0]) == 1.0
+    assert float(loops[0, 4, 4]) == 0.0  # no self-loop on padded node
+    norm = gcn_norm_adjacency(adj, node_mask)
+    # triangle + self-loops: every node degree 3 -> entries 1/3
+    sub = np.asarray(norm[0, :3, :3])
+    np.testing.assert_allclose(sub, np.full((3, 3), 1 / 3), atol=1e-6)
+    # padded rows fully zero
+    assert float(jnp.abs(norm[0, 3:]).sum()) == 0.0
+
+
+def test_masked_softmax():
+    scores = jnp.array([[1.0, 2.0, 3.0, 100.0]])
+    mask = jnp.array([[1.0, 1.0, 1.0, 0.0]])
+    p = masked_softmax(scores, mask)
+    assert float(p[0, 3]) == 0.0
+    np.testing.assert_allclose(float(p.sum()), 1.0, atol=1e-6)
+    e = np.exp([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(p[0, :3]), e / e.sum(), rtol=1e-5)
+    # fully masked row -> zeros, no NaN
+    p0 = masked_softmax(scores, jnp.zeros((1, 4)))
+    assert not np.any(np.isnan(np.asarray(p0)))
+    assert float(p0.sum()) == 0.0
+
+
+def test_pooling():
+    x = jnp.array([[[1.0, -5.0], [2.0, 1.0], [-3.0, 7.0], [99.0, 99.0]]])
+    mask = jnp.array([[1.0, 1.0, 1.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(segment_max_pool(x, mask)[0]),
+                               [2.0, 7.0])
+    np.testing.assert_allclose(np.asarray(segment_mean_pool(x, mask)[0]),
+                               [0.0, 1.0])
+    np.testing.assert_allclose(np.asarray(segment_sum_pool(x, mask)[0]),
+                               [0.0, 3.0])
+    # all-masked graph pools to zero (not -inf)
+    empty = segment_max_pool(x, jnp.zeros((1, 4)))
+    np.testing.assert_allclose(np.asarray(empty[0]), [0.0, 0.0])
+
+
+def test_segment_ops():
+    data = jnp.array([1.0, 2.0, 3.0, 4.0])
+    seg = jnp.array([0, 0, 1, 1])
+    np.testing.assert_allclose(np.asarray(segment_sum(data, seg, 2)),
+                               [3.0, 7.0])
+    logits = jnp.array([0.0, 0.0, 1.0, 2.0])
+    sm = segment_softmax(logits, seg, 2)
+    np.testing.assert_allclose(np.asarray(sm[:2]), [0.5, 0.5], atol=1e-6)
+    e = np.exp([1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(sm[2:]), e / e.sum(), rtol=1e-5)
+
+
+def test_padding_invariance_of_adjacency_ops():
+    """Growing the node budget must not change valid-region results."""
+    edges, edge_mask, node_mask = _triangle_batch(n_pad=6)
+    adj6 = gcn_norm_adjacency(dense_adjacency(edges, edge_mask, 6), node_mask)
+    node_mask16 = jnp.zeros((1, 16)).at[0, :3].set(1.0)
+    adj16 = gcn_norm_adjacency(dense_adjacency(edges, edge_mask, 16),
+                               node_mask16)
+    np.testing.assert_allclose(np.asarray(adj6[0, :3, :3]),
+                               np.asarray(adj16[0, :3, :3]), atol=1e-7)

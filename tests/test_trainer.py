@@ -1,0 +1,94 @@
+"""End-to-end training-engine tests on a small slice of the bundled data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mgat_graphsage_tpu.data import MolecularDataset, load_csv, TRAIN_CSV, VAL_CSV
+from mgat_graphsage_tpu.eval import regression_metrics
+from mgat_graphsage_tpu.train import Trainer, get_config
+
+
+@pytest.fixture(scope="module")
+def small_data():
+    sm, y = load_csv(TRAIN_CSV)
+    vs, vy = load_csv(VAL_CSV)
+    train = MolecularDataset(sm[:200], y[:200], fit_scaler=True,
+                             fingerprint=None, verbose=False)
+    val = MolecularDataset(vs[:64], vy[:64], scaler=train.scaler,
+                           fingerprint=None,
+                           max_nodes=train.max_nodes,
+                           max_edges=train.max_edges, verbose=False)
+    return train, val
+
+
+@pytest.fixture(scope="module")
+def small_fp_data():
+    sm, y = load_csv(TRAIN_CSV)
+    vs, vy = load_csv(VAL_CSV)
+    train = MolecularDataset(sm[:128], y[:128], fit_scaler=True,
+                             fingerprint="ecfp1024", verbose=False)
+    val = MolecularDataset(vs[:64], vy[:64], scaler=train.scaler,
+                           fingerprint="ecfp1024",
+                           max_nodes=train.max_nodes,
+                           max_edges=train.max_edges, verbose=False)
+    return train, val
+
+
+def test_gcn_end_to_end_loss_decreases(small_data):
+    train, val = small_data
+    cfg = get_config("gcn", epochs=8, batch_size=32, featurizer="35",
+                     lr=3e-3)
+    trainer = Trainer(cfg, train, val)
+    state, best_state, history = trainer.fit(verbose=False)
+    losses = [h["train_loss"] for h in history]
+    assert len(losses) == 8
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert all(np.isfinite(l) for l in losses)
+    assert "val_mse" in history[-1]
+
+
+def test_hybrid_end_to_end_and_checkpoint(tmp_path, small_fp_data):
+    train, val = small_fp_data
+    cfg = get_config("flagship", epochs=3, batch_size=32)
+    trainer = Trainer(cfg, train, val, ckpt_dir=str(tmp_path))
+    state, best_state, history = trainer.fit(verbose=False)
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
+    # best checkpoint written with scaler metadata
+    ckpt = os.path.join(str(tmp_path), "best_model.msgpack")
+    assert os.path.exists(ckpt)
+    restored, meta = trainer.load(ckpt)
+    assert meta["scaler"]["scale"] > 0
+    assert meta["config"]["name"] == "flagship"
+    # restored params give identical predictions
+    ev1 = trainer.evaluate(best_state)
+    ev2 = trainer.evaluate(restored)
+    np.testing.assert_allclose(ev1["pred"], ev2["pred"], atol=1e-6)
+    # original-scale predictions are de-normalized
+    m = regression_metrics(val.y_orig, ev2["pred_denorm"])
+    assert np.isfinite(m["rmse"])
+
+
+def test_eval_handles_partial_final_batch(small_data):
+    train, val = small_data
+    cfg = get_config("graphsage", epochs=1, batch_size=32,
+                     eval_batch_size=50)  # 64 val rows -> 50 + 14
+    trainer = Trainer(cfg, train, val)
+    state = trainer.init_state()
+    ev = trainer.evaluate(state)
+    assert ev["pred"].shape[0] == len(val)
+
+
+def test_resume_training(tmp_path, small_data):
+    train, val = small_data
+    cfg = get_config("graphsage", epochs=2, batch_size=32)
+    t1 = Trainer(cfg, train, val)
+    s1, _, h1 = t1.fit(verbose=False)
+    path = str(tmp_path / "resume.msgpack")
+    t1.save(path, s1)
+    t2 = Trainer(cfg, train, val)
+    s2, meta = t2.load(path)
+    assert int(np.asarray(s2.step)) == int(np.asarray(s1.step))
+    s3, _, h3 = t2.fit(epochs=3, state=s2, start_epoch=2, verbose=False)
+    assert int(np.asarray(s3.step)) > int(np.asarray(s2.step))
