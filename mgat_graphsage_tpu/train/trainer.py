@@ -140,15 +140,23 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         batch = next(self.train_ds.batches(cfg.batch_size))
         n = batch.nodes.shape[1]
-        adj = dense_adjacency(jnp.asarray(batch.edges),
-                              jnp.asarray(batch.edge_mask), n)
-        if cfg.is_hybrid:
-            variables = self.model.init(rng, jnp.asarray(batch.nodes), adj,
-                                        jnp.asarray(batch.node_mask),
-                                        jnp.asarray(batch.fp))
-        else:
-            variables = self.model.init(rng, jnp.asarray(batch.nodes), adj,
-                                        jnp.asarray(batch.node_mask))
+
+        @jax.jit
+        def _init(rng, nodes, edges, edge_mask, node_mask, fp):
+            adj = dense_adjacency(edges, edge_mask, n)
+            if cfg.is_hybrid:
+                return self.model.init(rng, nodes, adj, node_mask, fp)
+            return self.model.init(rng, nodes, adj, node_mask)
+
+        variables = _init(rng, jnp.asarray(batch.nodes),
+                          jnp.asarray(batch.edges),
+                          jnp.asarray(batch.edge_mask),
+                          jnp.asarray(batch.node_mask),
+                          jnp.asarray(batch.fp))
+        # materialize before feeding into downstream jits: the axon TPU
+        # relay can deadlock host readback when a jit consumes another
+        # jit's not-yet-materialized outputs
+        variables = jax.block_until_ready(variables)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,

@@ -7,7 +7,8 @@ exercised on 8 virtual CPU devices.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-set: the environment pre-exports JAX_PLATFORMS=axon (TPU tunnel)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
