@@ -1,0 +1,146 @@
+"""Benchmark: flagship hybrid training throughput, TPU vs PyTorch-CPU.
+
+North-star metric (BASELINE.json): molecules/sec/chip at the reference's
+matched training config (batch 128, Adam lr 1e-3 wd 1e-4, MSE + 0.001*KL,
+reference ``train.py:209-229``).  The reference publishes no numbers and
+ships no dataset, so the PyTorch-CPU baseline is measured here, in the
+reference's own flat data layout (``compare/torch_ref.py``), on the bundled
+synthetic splits (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "molecules/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_MOLECULES = 1024
+BATCH_SIZE = 128
+TPU_TIMED_STEPS = 30
+TORCH_TIMED_STEPS = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_data():
+    from mgat_graphsage_tpu.data import MolecularDataset, load_csv, TRAIN_CSV
+
+    sm, y = load_csv(TRAIN_CSV)
+    t0 = time.perf_counter()
+    ds = MolecularDataset(sm[:N_MOLECULES], y[:N_MOLECULES],
+                          fit_scaler=True, fingerprint="ecfp1024",
+                          verbose=False)
+    log(f"[bench] featurized {len(ds)} molecules in "
+        f"{time.perf_counter() - t0:.1f}s "
+        f"(budget {ds.max_nodes} nodes / {ds.max_edges} edges)")
+    return ds
+
+
+def bench_tpu(ds) -> float:
+    import jax
+
+    from mgat_graphsage_tpu.train import Trainer, get_config
+
+    cfg = get_config("flagship", batch_size=BATCH_SIZE)
+    trainer = Trainer(cfg, ds, None)
+    state = trainer.init_state()
+    trainer._build_steps()
+
+    batches = [b.as_dict() for b in ds.batches(BATCH_SIZE, drop_last=True)]
+    rng = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    state, m = trainer._train_step(state, batches[0], rng)
+    jax.block_until_ready(m["loss"])
+    log(f"[bench] TPU compile+first step: {time.perf_counter() - t0:.1f}s")
+    for b in batches[1:3]:
+        state, m = trainer._train_step(state, b, rng)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(TPU_TIMED_STEPS):
+        state, m = trainer._train_step(state, batches[i % len(batches)], rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    mol_s = TPU_TIMED_STEPS * BATCH_SIZE / dt
+    log(f"[bench] TPU: {TPU_TIMED_STEPS} steps in {dt:.2f}s -> "
+        f"{mol_s:,.0f} molecules/s (loss={float(m['loss']):.4f})")
+    return mol_s
+
+
+def bench_torch_cpu(ds) -> float:
+    import torch
+
+    from mgat_graphsage_tpu.chem import smiles_to_graph
+    from mgat_graphsage_tpu.compare.torch_ref import TorchHybrid, flat_batch
+
+    torch.manual_seed(42)
+    torch.set_num_threads(max(torch.get_num_threads(), 1))
+
+    # rebuild flat batches from the same molecules
+    graphs, fps = [], []
+    for smi in ds.smiles[:BATCH_SIZE * (TORCH_TIMED_STEPS + 1)]:
+        feats, ei = smiles_to_graph(smi)
+        graphs.append((feats, ei))
+    fp_rows = ds.fp[:len(graphs)]
+    batches = []
+    for s in range(0, len(graphs) - BATCH_SIZE + 1, BATCH_SIZE):
+        g = graphs[s:s + BATCH_SIZE]
+        f = [fp_rows[s + i:s + i + 1] for i in range(BATCH_SIZE)]
+        batches.append(flat_batch(g, f))
+    y = torch.tensor(ds.y[:BATCH_SIZE * len(batches)]).reshape(
+        len(batches), BATCH_SIZE, 1)
+
+    model = TorchHybrid()
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=1e-4)
+
+    def step(i):
+        x, ei, bv, ng, fp = batches[i % len(batches)]
+        opt.zero_grad()
+        pred, latent = model(x, ei, bv, ng, fp)
+        mse = torch.nn.functional.mse_loss(pred, y[i % len(batches)])
+        mean = latent.mean(0)
+        var = latent.var(0)
+        kl = -0.5 * torch.sum(1 + torch.log(var + 1e-10) - mean ** 2 - var)
+        (mse + 0.001 * kl).backward()
+        opt.step()
+
+    step(0)  # warmup
+    t0 = time.perf_counter()
+    for i in range(TORCH_TIMED_STEPS):
+        step(i + 1)
+    dt = time.perf_counter() - t0
+    mol_s = TORCH_TIMED_STEPS * BATCH_SIZE / dt
+    log(f"[bench] torch-CPU: {TORCH_TIMED_STEPS} steps in {dt:.2f}s -> "
+        f"{mol_s:,.0f} molecules/s")
+    return mol_s
+
+
+def main():
+    ds = load_data()
+    tpu_mol_s = bench_tpu(ds)
+    try:
+        cpu_mol_s = bench_torch_cpu(ds)
+    except Exception as e:  # torch missing or OOM: report absolute only
+        log(f"[bench] torch baseline failed: {e}")
+        cpu_mol_s = float("nan")
+    vs = tpu_mol_s / cpu_mol_s if np.isfinite(cpu_mol_s) else None
+    print(json.dumps({
+        "metric": "flagship_train_throughput",
+        "value": round(tpu_mol_s, 1),
+        "unit": "molecules/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Independent-test prediction pipeline (reference ``test.py:149-237`` and
+the ``gnn/predict-*.py`` / ``ablation/predict*.py`` / ``fingerprint/
+predict-*.py`` family, all collapsed into one config-driven runner).
+
+Differences from the reference, by design:
+- the reference iterates the test CSV one molecule at a time with a
+  hand-zeroed batch vector (``test.py:175-208``); here prediction runs in
+  jitted fixed-shape batches on the TPU — same numbers (per-molecule
+  attention == reference inference semantics, see tests/test_parity.py),
+  orders of magnitude faster;
+- de-normalization uses the scaler stored in the checkpoint metadata
+  (the reference pickles the sklearn scaler into the .pth).
+
+Output: metrics dict (MSE/RMSE/MAE/Pearson r + p) and a results CSV with
+the reference's exact columns (SMILES, True_Value, Predicted_Value,
+Absolute_Error — ``test.py:225-232``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import MolecularDataset, StandardScaler, load_csv
+from ..ops import dense_adjacency
+from ..train.checkpoint import load_checkpoint
+from ..train.config import TrainConfig
+from ..train.trainer import TrainState, build_model, make_optimizer
+from .metrics import regression_metrics
+
+__all__ = ["load_model_from_checkpoint", "predict_dataset", "predict_csv"]
+
+
+def load_model_from_checkpoint(ckpt_path: str):
+    """Rebuild (model, params, batch_stats, cfg, scaler, budgets) from a
+    checkpoint + its JSON sidecar."""
+    with open(ckpt_path + ".json") as f:
+        meta = json.load(f)
+    cfg = TrainConfig(**meta["config"])
+    scaler = StandardScaler.from_dict(meta["scaler"])
+    max_nodes = int(meta["max_nodes"])
+    max_edges = int(meta["max_edges"])
+    model = build_model(cfg)
+
+    feat = 5 if cfg.featurizer == "5" else 35
+    from ..chem.fingerprints import FINGERPRINT_DIMS
+    fp_dim = FINGERPRINT_DIMS[cfg.fingerprint] if cfg.fingerprint else 1
+
+    @jax.jit
+    def _init(rng):
+        nodes = jnp.zeros((1, max_nodes, feat))
+        edges = jnp.zeros((1, 2, max_edges), jnp.int32)
+        emask = jnp.zeros((1, max_edges))
+        nmask = jnp.ones((1, max_nodes))
+        adj = dense_adjacency(edges, emask, max_nodes)
+        if cfg.is_hybrid:
+            return model.init(rng, nodes, adj, nmask,
+                              jnp.zeros((1, fp_dim)))
+        return model.init(rng, nodes, adj, nmask)
+
+    variables = jax.block_until_ready(_init(jax.random.PRNGKey(0)))
+    from flax.core import FrozenDict
+    tx = make_optimizer(cfg)
+    target = TrainState(step=jnp.zeros((), jnp.int32),
+                        params=variables["params"],
+                        batch_stats=variables.get("batch_stats",
+                                                  FrozenDict()),
+                        opt_state=tx.init(variables["params"]))
+    state, _ = load_checkpoint(ckpt_path, jax.device_get(target))
+    return model, state, cfg, scaler, (max_nodes, max_edges)
+
+
+def predict_dataset(model, state, cfg: TrainConfig,
+                    scaler: StandardScaler, ds: MolecularDataset,
+                    batch_size: int = 64) -> np.ndarray:
+    """De-normalized predictions for every molecule in ``ds``."""
+    mean = jnp.float32(scaler.mean_)
+    scale = jnp.float32(scaler.scale_)
+    is_hybrid = cfg.is_hybrid
+
+    @jax.jit
+    def step(params, batch_stats, nodes, edges, emask, nmask, fp):
+        adj = dense_adjacency(edges, emask, nodes.shape[1])
+        variables = {"params": params, "batch_stats": batch_stats}
+        if is_hybrid:
+            pred, _ = model.apply(variables, nodes, adj, nmask, fp)
+        else:
+            pred = model.apply(variables, nodes, adj, nmask)
+        return pred.reshape(-1) * scale + mean
+
+    preds = []
+    for batch in ds.batches(batch_size):
+        p = step(state.params, state.batch_stats,
+                 jnp.asarray(batch.nodes), jnp.asarray(batch.edges),
+                 jnp.asarray(batch.edge_mask), jnp.asarray(batch.node_mask),
+                 jnp.asarray(batch.fp))
+        preds.append(np.asarray(p)[np.asarray(batch.sample_mask) > 0])
+    return np.concatenate(preds)
+
+
+def predict_csv(ckpt_path: str, csv_path: str,
+                out_csv: Optional[str] = "model_prediction_results.csv",
+                batch_size: int = 64, verbose: bool = True
+                ) -> Tuple[Dict, np.ndarray]:
+    """Full test.py equivalent: checkpoint + CSV -> metrics + results CSV."""
+    model, state, cfg, scaler, (mn, me) = load_model_from_checkpoint(
+        ckpt_path)
+    smiles, targets = load_csv(csv_path)
+    ds = MolecularDataset(smiles, targets, scaler=scaler,
+                          fingerprint=cfg.fingerprint,
+                          featurizer=cfg.featurizer,
+                          max_nodes=mn, max_edges=me, verbose=verbose)
+    preds = predict_dataset(model, state, cfg, scaler, ds, batch_size)
+    metrics = regression_metrics(ds.y_orig, preds)
+    if verbose:
+        print("\nModel evaluation results:")
+        print(f"Number of test samples: {metrics['n']}")
+        print(f"MSE: {metrics['mse']:.4f}")
+        print(f"RMSE: {metrics['rmse']:.4f}")
+        print(f"MAE: {metrics['mae']:.4f}")
+        print(f"Pearson correlation: {metrics['pearson_r']:.4f} "
+              f"(p-value: {metrics['pearson_p']:.4e})")
+    if out_csv:
+        with open(out_csv, "w") as f:
+            f.write("SMILES,True_Value,Predicted_Value,Absolute_Error\n")
+            for smi, t, p in zip(ds.smiles, ds.y_orig, preds):
+                f.write(f"{smi},{t:.6f},{p:.6f},{abs(t - p):.6f}\n")
+        if verbose:
+            print(f"Prediction results saved to {out_csv}")
+    return metrics, preds
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("checkpoint")
+    ap.add_argument("csv")
+    ap.add_argument("--out", default="model_prediction_results.csv")
+    ap.add_argument("--batch-size", type=int, default=64)
+    args = ap.parse_args()
+    predict_csv(args.checkpoint, args.csv, args.out, args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Command-line trainer: one entry point for every reference script.
+
+``python -m mgat_graphsage_tpu.train.run --preset flagship`` reproduces
+``python train.py``; ``--preset gcn`` reproduces ``gnn/gcn.py``; the
+ablation/fingerprint presets map likewise (see train/config.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..data import (
+    MolecularDataset,
+    TRAIN_CSV,
+    VAL_CSV,
+    load_csv,
+)
+from .config import PRESETS, get_config
+from .trainer import Trainer
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="flagship", choices=sorted(PRESETS))
+    ap.add_argument("--train-csv", default=TRAIN_CSV)
+    ap.add_argument("--val-csv", default=VAL_CSV)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--limit", type=int, default=None,
+                    help="limit training rows (smoke runs)")
+    ap.add_argument("--ckpt-dir", default="checkpoints")
+    ap.add_argument("--log", default=None, help="JSONL metrics log path")
+    ap.add_argument("--resume", default=None, help="checkpoint to resume")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard batches over all local devices")
+    args = ap.parse_args(argv)
+
+    overrides = {k: v for k, v in dict(
+        epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        seed=args.seed).items() if v is not None}
+    cfg = get_config(args.preset, **overrides)
+
+    sm, y = load_csv(args.train_csv)
+    vs, vy = load_csv(args.val_csv)
+    if args.limit:
+        sm, y = sm[:args.limit], y[:args.limit]
+        vs, vy = vs[:max(args.limit // 4, 32)], vy[:max(args.limit // 4, 32)]
+
+    train = MolecularDataset(sm, y, fit_scaler=cfg.scale_targets,
+                             fingerprint=cfg.fingerprint,
+                             featurizer=cfg.featurizer)
+    val = MolecularDataset(vs, vy, scaler=train.scaler,
+                           fingerprint=cfg.fingerprint,
+                           featurizer=cfg.featurizer,
+                           max_nodes=train.max_nodes,
+                           max_edges=train.max_edges)
+
+    ckpt_dir = os.path.join(args.ckpt_dir, cfg.name)
+    trainer = Trainer(cfg, train, val, ckpt_dir=ckpt_dir,
+                      log_path=args.log, use_mesh=args.data_parallel)
+
+    state, start_epoch = None, 0
+    if args.resume:
+        state, meta = trainer.load(args.resume)
+        start_epoch = int(meta.get("epoch", 0))
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    final, best, history = trainer.fit(state=state, start_epoch=start_epoch)
+    print(f"\nTraining completed, best "
+          f"{cfg.select_metric}: {trainer.best_metric:.4f} "
+          f"(normalized MSE {trainer.best_norm_mse:.4f})")
+    print(f"Best checkpoint: {os.path.join(ckpt_dir, 'best_model.msgpack')}")
+
+
+if __name__ == "__main__":
+    main()
