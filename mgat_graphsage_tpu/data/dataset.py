@@ -152,6 +152,25 @@ class MolecularDataset:
         if not graphs:
             raise ValueError("No valid molecules in dataset")
 
+        # drop molecules over an explicit (max_nodes, max_edges) budget
+        # BEFORE allocating arrays, so indices stay consistent
+        if max_nodes is not None or max_edges is not None:
+            budget_n = max_nodes or 10 ** 9
+            budget_e = max_edges or 10 ** 9
+            keep = [i for i, (g, e) in enumerate(graphs)
+                    if g.shape[0] <= budget_n and e.shape[1] <= budget_e]
+            if len(keep) < len(graphs):
+                if verbose:
+                    print(f"[data] dropped {len(graphs) - len(keep)} "
+                          f"molecules over the ({budget_n},{budget_e}) "
+                          f"budget")
+                graphs = [graphs[i] for i in keep]
+                fps = [fps[i] for i in keep]
+                kept_targets = [kept_targets[i] for i in keep]
+                kept_smiles = [kept_smiles[i] for i in keep]
+            if not graphs:
+                raise ValueError("No molecules fit the shape budget")
+
         self.smiles = kept_smiles
         self.y_orig = np.asarray(kept_targets, dtype=np.float32)
         if scaler is None:
@@ -177,21 +196,14 @@ class MolecularDataset:
         self.node_mask = np.zeros((n, self.max_nodes), np.float32)
         self.edge_mask = np.zeros((n, self.max_edges), np.float32)
         self.fp = np.zeros((n, max(self.fp_dim, 1)), np.float32)
-        dropped = 0
         for i, (feats, edge_index) in enumerate(graphs):
             nn, ne = feats.shape[0], edge_index.shape[1]
-            if nn > self.max_nodes or ne > self.max_edges:
-                dropped += 1
-                continue
             self.nodes[i, :nn] = feats
             self.edges[i, :, :ne] = edge_index
             self.node_mask[i, :nn] = 1.0
             self.edge_mask[i, :ne] = 1.0
             if fps[i] is not None:
                 self.fp[i] = fps[i]
-        if dropped and verbose:
-            print(f"[data] dropped {dropped} molecules over the "
-                  f"({self.max_nodes},{self.max_edges}) budget")
         self.n = n
 
     def __len__(self) -> int:

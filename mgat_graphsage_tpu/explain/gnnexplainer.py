@@ -1,0 +1,98 @@
+"""GNNExplainer: learned node-feature + edge masks, as an inner
+optimization loop under jit.
+
+Reference ``gnnexplainer.py:607-690``: PyG ``Explainer(GNNExplainer(
+epochs=100, lr=0.01), node_mask_type='attributes', edge_mask_type=
+'object')`` with gradient fallback on failure.  This implementation runs
+the same mask optimization natively: sigmoid-parameterized feature mask
+``[N, F]`` and edge mask ``[E]``, Adam(0.01), 100 steps via ``lax.scan``
+(XLA-friendly: one compiled program, no Python loop), **batched over all
+molecules at once** where the reference explains one molecule at a time.
+
+Loss (PyG GNNExplainer regression objective):
+  (pred_masked - pred_orig)^2
+  + c_es * |edge_mask|          (edge size,       c_es = 0.005)
+  + c_ee * H(edge_mask)         (edge entropy,    c_ee = 1.0)
+  + c_ns * mean(feat_mask)      (feature size,    c_ns = 1.0)
+  + c_ne * H(feat_mask)         (feature entropy, c_ne = 0.1)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import dense_adjacency
+
+__all__ = ["make_gnn_explainer"]
+
+_COEFFS = dict(edge_size=0.005, edge_ent=1.0, node_feat_size=1.0,
+               node_feat_ent=0.1)
+
+
+def _entropy(p: jnp.ndarray, eps: float = 1e-15) -> jnp.ndarray:
+    p = jnp.clip(p, eps, 1 - eps)
+    return -(p * jnp.log(p) + (1 - p) * jnp.log(1 - p))
+
+
+def make_gnn_explainer(graph_apply: Callable, epochs: int = 100,
+                       lr: float = 0.01) -> Callable:
+    """Build a jitted batched GNNExplainer.
+
+    ``graph_apply(nodes, adj, node_mask) -> [B, 1]`` closed over params.
+    Returns ``explain(nodes, edges, edge_mask, node_mask, rng) ->
+    (node_feat_mask [B, N, F], edge_mask [B, E])`` with sigmoid applied.
+    """
+    tx = optax.adam(lr)
+
+    @jax.jit
+    def explain(nodes, edges, edge_mask, node_mask, rng):
+        b, n, f = nodes.shape
+        e = edges.shape[-1]
+        target = graph_apply(
+            nodes, dense_adjacency(edges, edge_mask, n), node_mask)
+
+        k1, k2 = jax.random.split(rng)
+        # PyG init: N(0, 0.1) for both masks
+        params = {
+            "feat": 0.1 * jax.random.normal(k1, (b, n, f)),
+            "edge": 0.1 * jax.random.normal(k2, (b, e)),
+        }
+
+        def loss_fn(p):
+            fm = jax.nn.sigmoid(p["feat"])
+            em = jax.nn.sigmoid(p["edge"])
+            masked_nodes = nodes * fm
+            adj = dense_adjacency(edges, edge_mask * em, n)
+            pred = graph_apply(masked_nodes, adj, node_mask)
+            mse = ((pred - target) ** 2).sum()
+            valid_e = edge_mask
+            loss = (
+                mse
+                + _COEFFS["edge_size"] * (em * valid_e).sum()
+                + _COEFFS["edge_ent"] * (_entropy(em) * valid_e).mean()
+                + _COEFFS["node_feat_size"]
+                * (fm * node_mask[..., None]).mean()
+                + _COEFFS["node_feat_ent"]
+                * (_entropy(fm) * node_mask[..., None]).mean()
+            )
+            return loss
+
+        opt_state = tx.init(params)
+
+        def step(carry, _):
+            p, s = carry
+            grads = jax.grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), None
+
+        (params, _), _ = jax.lax.scan(step, (params, opt_state),
+                                      None, length=epochs)
+        return (jax.nn.sigmoid(params["feat"]) * node_mask[..., None],
+                jax.nn.sigmoid(params["edge"]) * edge_mask)
+
+    return explain

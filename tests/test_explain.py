@@ -1,0 +1,157 @@
+"""Interpretability tests: gradients, GNNExplainer, sampling,
+substructures, figures."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mgat_graphsage_tpu.chem import smiles_to_graph
+from mgat_graphsage_tpu.explain import (
+    find_important_substructures,
+    make_gnn_explainer,
+    make_gradient_explainer,
+    process_node_importance,
+    qcut_bins,
+    select_representative_molecules,
+    stratified_sample_by_column,
+)
+from mgat_graphsage_tpu.ops import segment_max_pool
+
+
+def _padded(smiles_list, max_nodes=24, max_edges=60):
+    b = len(smiles_list)
+    nodes = np.zeros((b, max_nodes, 35), np.float32)
+    edges = np.zeros((b, 2, max_edges), np.int32)
+    node_mask = np.zeros((b, max_nodes), np.float32)
+    edge_mask = np.zeros((b, max_edges), np.float32)
+    for i, smi in enumerate(smiles_list):
+        f, e = smiles_to_graph(smi)
+        nodes[i, :f.shape[0]] = f
+        edges[i, :, :e.shape[1]] = e
+        node_mask[i, :f.shape[0]] = 1
+        edge_mask[i, :e.shape[1]] = 1
+    return (jnp.asarray(nodes), jnp.asarray(edges), jnp.asarray(edge_mask),
+            jnp.asarray(node_mask))
+
+
+def _toy_graph_apply(w):
+    """Model: prediction = max-pool of (x @ w) — gradient flows only
+    through the pooled max atoms."""
+    def apply(nodes, adj, node_mask):
+        h = nodes @ w
+        return segment_max_pool(h, node_mask)
+    return apply
+
+
+def test_gradient_explainer_masks_padding():
+    nodes, edges, edge_mask, node_mask = _padded(["CCO", "c1ccccc1"])
+    w = jnp.ones((35, 1)) * 0.1
+    explain = make_gradient_explainer(_toy_graph_apply(w))
+    raw, preds = explain(nodes, edges, edge_mask, node_mask)
+    raw = np.asarray(raw)
+    assert raw.shape == (2, 24)
+    # padded atoms get exactly zero importance
+    assert raw[0, 3:].sum() == 0
+    assert raw[1, 6:].sum() == 0
+    assert np.all(np.isfinite(preds))
+
+
+def test_process_node_importance():
+    out = process_node_importance(np.array([0.0, 2.0, 4.0]), 3)
+    np.testing.assert_allclose(out, [0.0, 0.5, 1.0])
+    # feature matrix -> row norms
+    out = process_node_importance(np.array([[3.0, 4.0], [0.0, 0.0]]), 2)
+    np.testing.assert_allclose(out, [1.0, 0.0])
+    # flat -> 0.5 fallback
+    np.testing.assert_allclose(process_node_importance(
+        np.ones(4), 4), [0.5] * 4)
+    # pad / trim
+    assert len(process_node_importance(np.ones(2), 5)) == 5
+
+
+def test_gnn_explainer_runs_and_respects_masks():
+    nodes, edges, edge_mask, node_mask = _padded(["CCO", "CC(=O)O"])
+    w = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (35, 1))
+    gexp = make_gnn_explainer(_toy_graph_apply(w), epochs=20)
+    fm, em = gexp(nodes, edges, edge_mask, node_mask,
+                  jax.random.PRNGKey(1))
+    fm, em = np.asarray(fm), np.asarray(em)
+    assert fm.shape == (2, 24, 35)
+    assert em.shape == (2, 60)
+    assert np.all((fm >= 0) & (fm <= 1))
+    # masked (padded) entries are zeroed
+    assert fm[0, 3:].sum() == 0
+    assert em[0, 4:].sum() == 0
+
+
+def test_qcut_bins():
+    v = np.arange(100, dtype=float)
+    bins = qcut_bins(v, 5)
+    assert set(bins) == {0, 1, 2, 3, 4}
+    counts = np.bincount(bins)
+    assert all(c == 20 for c in counts)
+    # constant values degenerate to one bin, no crash
+    assert set(qcut_bins(np.ones(10), 5)) == {0}
+
+
+def test_stratified_sampler_deterministic():
+    idx = np.arange(200)
+    vals = np.random.default_rng(0).normal(size=200)
+    a = stratified_sample_by_column(idx, vals, 50)
+    b = stratified_sample_by_column(idx, vals, 50)
+    assert a == b
+    assert len(a) == 50
+    assert len(set(a)) == 50
+
+
+def test_select_representative_quotas():
+    n = 500
+    rng = np.random.default_rng(1)
+    info = {
+        "index": np.arange(n),
+        "prediction": rng.normal(6, 1, n),
+        "avg_importance": rng.uniform(0, 1, n),
+        "num_atoms": rng.integers(11, 94, n),
+    }
+    sel = select_representative_molecules(info, 200, verbose=False)
+    assert len(sel) == 200
+    assert len(set(sel)) == 200  # disjoint pools
+    # small datasets: analyze everything
+    small = {k: v[:50] for k, v in info.items()}
+    assert len(select_representative_molecules(small, 200,
+                                               verbose=False)) == 50
+
+
+def test_find_important_substructures():
+    # aspirin with the carboxyl atoms marked important
+    smiles = "CC(=O)Oc1ccccc1C(=O)O"
+    imp = np.zeros(13)
+    imp[[10, 11, 12]] = 0.9   # C(=O)O tail
+    res = find_important_substructures(smiles, imp,
+                                       importance_threshold=0.5)
+    assert res["important_atoms"] == [10, 11, 12]
+    assert "carboxyl" in res["important_substructures"]
+    assert "carbonyl" in res["important_substructures"]
+    # important edges connect important atoms only
+    for a, b in res["important_edges"]:
+        assert a in (10, 11, 12) and b in (10, 11, 12)
+    # radius-2 environments rendered for each important atom
+    assert set(res["atom_environments"]) == {10, 11, 12}
+    assert all(isinstance(v, str) and v for v in
+               res["atom_environments"].values())
+
+
+def test_figures_render(tmp_path):
+    from mgat_graphsage_tpu.explain import figures as F
+
+    p = F.molecule_importance_figure(
+        "CC(=O)Oc1ccccc1C(=O)O", np.linspace(0, 1, 13),
+        str(tmp_path / "mol.png"), prediction=6.5, true_value=7.0)
+    assert os.path.getsize(p) > 10_000
+    p = F.atom_importance_figures(
+        {"C": [0.2, 0.5, 0.9], "O": [0.7, 0.8], "N": [0.1]},
+        str(tmp_path / "atoms.png"))
+    assert os.path.getsize(p) > 10_000
