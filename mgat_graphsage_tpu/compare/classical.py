@@ -1,0 +1,270 @@
+"""Classical-ML comparison harness (reference ``pycaret.py`` — which,
+despite its name, drives sklearn directly).
+
+Reproduces the reference pipeline (``pycaret.py:184-449``):
+- features: ECFP-1024 concatenated with 5 aggregations (mean/max/sum/min/
+  std) of the 35-dim atom-feature matrix = 1199 dims (``pycaret.py:36-97``);
+- ~24 regressors (tree ensembles, linear family, kernel/neighbor methods,
+  robust regressors) + optional XGBoost/LightGBM/CatBoost when installed
+  (they are not in this image — gated);
+- per-model StandardScaler whitelist (``pycaret.py:299-302``);
+- train on train+validation, evaluate on the independent test set, 5-fold
+  CV RMSE, leaderboard sorted by RMSE, model + feature-importance dumps.
+
+Host-side CPU work by design — there is no TPU win in fitting 24 sklearn
+models; the TPU budget belongs to the neural pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..chem import smiles_to_graph
+from ..chem.fingerprints import get_ecfp
+from ..data import load_csv
+from ..eval.metrics import pearsonr
+
+__all__ = ["get_atom_features", "get_combined_features", "build_models",
+           "comprehensive_modeling", "featurize_dataframe"]
+
+SCALING_MODELS = {
+    "SVR", "KNN", "Ridge", "Lasso", "Elastic Net", "Lars", "Lasso Lars",
+    "Orthogonal Matching Pursuit", "Bayesian Ridge", "ARD Regression",
+    "MLP", "Gaussian Process", "Kernel Ridge", "Huber",
+    "Passive Aggressive",
+}
+
+
+def get_atom_features(smiles: str) -> np.ndarray:
+    """5-way aggregated 35-dim atom features (mean/max/sum/min/std), 175
+    dims (reference ``pycaret.py:36-85``)."""
+    feats, _ = smiles_to_graph(smiles)
+    return np.concatenate([
+        feats.mean(0), feats.max(0), feats.sum(0), feats.min(0),
+        feats.std(0),
+    ])
+
+
+def get_combined_features(smiles: str, ecfp_radius: int = 2,
+                          ecfp_n_bits: int = 1024) -> np.ndarray:
+    """ECFP-1024 + aggregated atom features = 1199 dims
+    (reference ``pycaret.py:88-97``)."""
+    ecfp = get_ecfp(smiles, radius=ecfp_radius, nBits=ecfp_n_bits).reshape(-1)
+    return np.concatenate([ecfp, get_atom_features(smiles)])
+
+
+def featurize_dataframe(smiles_list, targets,
+                        verbose: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Featurize with skip-on-error semantics (``pycaret.py:112-125``)."""
+    xs, ys = [], []
+    for smi, y in zip(smiles_list, targets):
+        try:
+            xs.append(get_combined_features(str(smi)))
+            ys.append(float(y))
+        except ValueError as e:
+            if verbose:
+                print(e)
+    return np.asarray(xs, np.float32), np.asarray(ys, np.float32)
+
+
+def build_models(seed: int = 42, fast: bool = False) -> Dict:
+    """The reference's ~24-model registry (``pycaret.py:247-285``), with
+    the optional XGBoost/LightGBM/CatBoost entries gated on import."""
+    from sklearn.ensemble import (
+        AdaBoostRegressor, BaggingRegressor, ExtraTreesRegressor,
+        GradientBoostingRegressor, RandomForestRegressor,
+    )
+    from sklearn.gaussian_process import GaussianProcessRegressor
+    from sklearn.kernel_ridge import KernelRidge
+    from sklearn.linear_model import (
+        ARDRegression, BayesianRidge, ElasticNet, HuberRegressor, Lars,
+        Lasso, LassoLars, LinearRegression, OrthogonalMatchingPursuit,
+        PassiveAggressiveRegressor, RANSACRegressor, Ridge,
+        TheilSenRegressor,
+    )
+    from sklearn.neighbors import KNeighborsRegressor
+    from sklearn.neural_network import MLPRegressor
+    from sklearn.svm import SVR
+    from sklearn.tree import DecisionTreeRegressor
+
+    n_est = 20 if fast else 100
+    models = {
+        "Random Forest": RandomForestRegressor(
+            n_estimators=n_est, random_state=seed, n_jobs=-1),
+        "Gradient Boosting": GradientBoostingRegressor(
+            n_estimators=n_est, random_state=seed),
+        "Extra Trees": ExtraTreesRegressor(
+            n_estimators=n_est, random_state=seed, n_jobs=-1),
+        "AdaBoost": AdaBoostRegressor(n_estimators=n_est,
+                                      random_state=seed),
+        "Decision Tree": DecisionTreeRegressor(random_state=seed),
+        "Ridge": Ridge(random_state=seed),
+        "Lasso": Lasso(random_state=seed, max_iter=2000),
+        "Elastic Net": ElasticNet(random_state=seed, max_iter=2000),
+        "Linear Regression": LinearRegression(),
+        "Lars": Lars(),
+        "Lasso Lars": LassoLars(random_state=seed),
+        "Orthogonal Matching Pursuit": OrthogonalMatchingPursuit(),
+        "Bayesian Ridge": BayesianRidge(),
+        "ARD Regression": ARDRegression(),
+        "SVR": SVR(gamma="scale"),
+        "MLP": MLPRegressor(hidden_layer_sizes=(128, 64),
+                            random_state=seed,
+                            max_iter=100 if fast else 500),
+        "KNN": KNeighborsRegressor(n_neighbors=5),
+        "Gaussian Process": GaussianProcessRegressor(random_state=seed),
+        "Kernel Ridge": KernelRidge(),
+        "Bagging": BaggingRegressor(random_state=seed, n_jobs=-1),
+        "Huber": HuberRegressor(),
+        "Passive Aggressive": PassiveAggressiveRegressor(
+            random_state=seed),
+        "RANSAC": RANSACRegressor(random_state=seed),
+        "TheilSen": TheilSenRegressor(random_state=seed,
+                                      max_subpopulation=1000),
+    }
+    for name, importer in (
+            ("XGBoost", "xgboost"), ("LightGBM", "lightgbm"),
+            ("CatBoost", "catboost")):
+        try:
+            mod = __import__(importer)
+            if name == "XGBoost":
+                models[name] = mod.XGBRegressor(
+                    n_estimators=n_est, random_state=seed, n_jobs=-1)
+            elif name == "LightGBM":
+                models[name] = mod.LGBMRegressor(
+                    n_estimators=n_est, random_state=seed, n_jobs=-1,
+                    verbose=-1)
+            else:
+                models[name] = mod.CatBoostRegressor(
+                    iterations=n_est, random_state=seed, verbose=False)
+        except ImportError:
+            pass
+    return models
+
+
+def comprehensive_modeling(
+    X_train: np.ndarray, y_train: np.ndarray,
+    X_test: np.ndarray, y_test: np.ndarray,
+    output_dir: Optional[str] = None,
+    cv_folds: int = 5,
+    seed: int = 42,
+    fast: bool = False,
+    save_models: bool = False,
+    verbose: bool = True,
+) -> List[Dict]:
+    """Fit every model, score on the test set, 5-fold CV RMSE, and return
+    the leaderboard sorted by test RMSE (reference
+    ``pycaret.py:184-449``)."""
+    from sklearn.metrics import mean_absolute_error, mean_squared_error
+    from sklearn.model_selection import KFold, cross_val_score
+    from sklearn.preprocessing import StandardScaler
+
+    models = build_models(seed=seed, fast=fast)
+    if verbose:
+        print(f"Training and evaluating {len(models)} algorithms...")
+    rows: List[Dict] = []
+    for i, (name, model) in enumerate(models.items(), 1):
+        t0 = time.time()
+        try:
+            if name in SCALING_MODELS:
+                scaler = StandardScaler()
+                xtr = scaler.fit_transform(X_train)
+                xte = scaler.transform(X_test)
+            else:
+                xtr, xte = X_train, X_test
+            model.fit(xtr, y_train)
+            pred = model.predict(xte)
+            mse = float(mean_squared_error(y_test, pred))
+            mae = float(mean_absolute_error(y_test, pred))
+            r, p = pearsonr(y_test, pred)
+            cv_rmse = float("nan")
+            if cv_folds and cv_folds > 1:
+                kf = KFold(n_splits=cv_folds, shuffle=True,
+                           random_state=seed)
+                scores = cross_val_score(
+                    model, xtr, y_train, cv=kf,
+                    scoring="neg_root_mean_squared_error", n_jobs=1)
+                cv_rmse = float(-scores.mean())
+            row = {
+                "model": name, "mse": mse, "rmse": float(np.sqrt(mse)),
+                "mae": mae, "pearson_r": r,
+                "r2": 1 - mse / max(np.var(y_test), 1e-12),
+                "cv_rmse": cv_rmse,
+                "train_time_s": time.time() - t0,
+            }
+            rows.append(row)
+            if verbose:
+                print(f"  [{i:2d}/{len(models)}] {name:<28} "
+                      f"RMSE {row['rmse']:.4f}  CV-RMSE {cv_rmse:.4f}  "
+                      f"r {r:.3f}  ({row['train_time_s']:.1f}s)")
+            if save_models and output_dir:
+                import joblib
+                os.makedirs(output_dir, exist_ok=True)
+                joblib.dump(model, os.path.join(
+                    output_dir,
+                    name.lower().replace(" ", "_") + ".joblib"))
+                if hasattr(model, "feature_importances_"):
+                    np.save(os.path.join(
+                        output_dir,
+                        name.lower().replace(" ", "_") + "_fi.npy"),
+                        model.feature_importances_)
+        except Exception as e:
+            if verbose:
+                print(f"  [{i:2d}/{len(models)}] {name} FAILED: {e}")
+    rows.sort(key=lambda r: r["rmse"])
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "leaderboard.csv"), "w") as f:
+            cols = ["model", "rmse", "mse", "mae", "pearson_r", "r2",
+                    "cv_rmse", "train_time_s"]
+            f.write(",".join(cols) + "\n")
+            for r in rows:
+                f.write(",".join(str(r[c]) for c in cols) + "\n")
+    return rows
+
+
+def main():
+    import argparse
+
+    from ..data import TRAIN_CSV, VAL_CSV, TEST_CSV
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--train-csv", default=TRAIN_CSV)
+    ap.add_argument("--val-csv", default=VAL_CSV)
+    ap.add_argument("--test-csv", default=TEST_CSV)
+    ap.add_argument("--out", default="classical_output")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--cv-folds", type=int, default=5)
+    ap.add_argument("--save-models", action="store_true")
+    args = ap.parse_args()
+
+    tr_s, tr_y = load_csv(args.train_csv)
+    va_s, va_y = load_csv(args.val_csv)
+    te_s, te_y = load_csv(args.test_csv)
+    if args.limit:
+        tr_s, tr_y = tr_s[:args.limit], tr_y[:args.limit]
+        va_s, va_y = va_s[:args.limit // 4], va_y[:args.limit // 4]
+        te_s, te_y = te_s[:args.limit], te_y[:args.limit]
+
+    # reference concatenates train+val as the fit set (pycaret.py:482)
+    X_train, y_train = featurize_dataframe(list(tr_s) + list(va_s),
+                                           np.concatenate([tr_y, va_y]))
+    X_test, y_test = featurize_dataframe(te_s, te_y)
+    print(f"features: train {X_train.shape}, test {X_test.shape}")
+    rows = comprehensive_modeling(X_train, y_train, X_test, y_test,
+                                  output_dir=args.out, fast=args.fast,
+                                  cv_folds=args.cv_folds,
+                                  save_models=args.save_models)
+    print("\nLeaderboard (top 10 by test RMSE):")
+    for r in rows[:10]:
+        print(f"  {r['model']:<28} RMSE {r['rmse']:.4f}  "
+              f"r {r['pearson_r']:.3f}")
+
+
+if __name__ == "__main__":
+    main()
