@@ -144,6 +144,7 @@ class ModifiedGATLayer(nn.Module):
     features: int
     residual: bool = True
     flat: bool = False
+    use_pallas: Optional[bool] = None   # None = auto (TPU backend only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -161,18 +162,27 @@ class ModifiedGATLayer(nn.Module):
         k_new = TorchLinear(self.features, name="linear_transform")(
             jnp.concatenate([k3, k5, k], axis=-1))
 
-        # scores[b, i, j] = k_new[b, i] . q[b, j] / sqrt(F)
-        scores = jnp.einsum("...if,...jf->...ij", k_new, q,
-                            preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(self.features)
-        if node_mask is None:
-            attn = jax.nn.softmax(scores, axis=-1)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and node_mask is not None and x.ndim == 3:
+            from ..ops.pallas_attention import fused_masked_attention
+            out = fused_masked_attention(q, k_new, v, node_mask,
+                                         self.residual)
         else:
-            attn = masked_softmax(scores, node_mask[..., None, :], axis=-1)
-        out = jnp.einsum("...ij,...jf->...if", attn, v,
-                         preferred_element_type=jnp.float32)
-        if self.residual:
-            out = out + v
+            # scores[b, i, j] = k_new[b, i] . q[b, j] / sqrt(F)
+            scores = jnp.einsum("...if,...jf->...ij", k_new, q,
+                                preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(self.features)
+            if node_mask is None:
+                attn = jax.nn.softmax(scores, axis=-1)
+            else:
+                attn = masked_softmax(scores, node_mask[..., None, :],
+                                      axis=-1)
+            out = jnp.einsum("...ij,...jf->...if", attn, v,
+                             preferred_element_type=jnp.float32)
+            if self.residual:
+                out = out + v
         if self.flat and len(orig_shape) == 3:
             out = out.reshape(orig_shape[:-1] + (self.features,))
         return out
