@@ -22,6 +22,7 @@ reference's tensor layout.
 
 from __future__ import annotations
 
+import struct
 import zlib
 from typing import Dict, List, Sequence, Tuple
 
@@ -47,14 +48,26 @@ def _stable_hash(*parts) -> int:
     return zlib.crc32(repr(parts).encode("utf-8")) & 0xFFFFFFFF
 
 
+# Morgan hashing uses a language-portable integer stream (uint32 LE +
+# CRC32) so the C++ native featurizer (csrc/featurizer.cpp) produces
+# bit-identical fingerprints. Tags namespace the hash families.
+_TAG_ECFP0 = 1
+_TAG_FCFP0 = 2
+_TAG_ITER = 3
+
+
+def _crc_ints(tag: int, ints: Sequence[int]) -> int:
+    vals = [tag] + [v & 0xFFFFFFFF for v in ints]
+    return zlib.crc32(struct.pack("<%dI" % len(vals), *vals)) & 0xFFFFFFFF
+
+
 # ---------------------------------------------------------------------------
 # Morgan / ECFP / FCFP
 # ---------------------------------------------------------------------------
 
 def _ecfp_invariant(atom) -> int:
     """Standard ECFP initial atom invariant (Rogers & Hahn 2010)."""
-    return _stable_hash(
-        "ecfp0",
+    return _crc_ints(_TAG_ECFP0, [
         atom.GetAtomicNum(),
         atom.GetDegree(),
         atom.GetTotalNumHs(),
@@ -62,7 +75,7 @@ def _ecfp_invariant(atom) -> int:
         int(atom.IsInRing()),
         int(atom.GetIsAromatic()),
         atom.isotope,
-    )
+    ])
 
 
 def _fcfp_invariant(atom) -> int:
@@ -76,8 +89,8 @@ def _fcfp_invariant(atom) -> int:
     acidic = int(sym == "O" and atom.GetFormalCharge() < 0)
     aromatic = int(atom.GetIsAromatic())
     halogen = int(sym in ("F", "Cl", "Br", "I"))
-    return _stable_hash("fcfp0", donor, acceptor, basic, acidic,
-                        aromatic, halogen)
+    return _crc_ints(_TAG_FCFP0, [donor, acceptor, basic, acidic,
+                                  aromatic, halogen])
 
 
 def morgan_fingerprint(
@@ -110,11 +123,14 @@ def morgan_fingerprint(
             for bidx in a._bond_idxs:
                 b = mol.GetBonds()[bidx]
                 j = b.other(a.idx)
-                nb.append((b.GetBondTypeAsDouble(), ids[j]))
+                nb.append((int(b.GetBondTypeAsDouble() * 2), ids[j]))
                 bonds_here.add(bidx)
                 bonds_here |= env_bonds[j]
             nb.sort()
-            new_id = _stable_hash("ecfp_iter", r, ids[a.idx], tuple(nb))
+            stream = [r, ids[a.idx]]
+            for code, nid in nb:
+                stream.extend((code, nid))
+            new_id = _crc_ints(_TAG_ITER, stream)
             new_ids[a.idx] = new_id
             new_envs[a.idx] = frozenset(bonds_here)
             round_items.append((a.idx, new_id, frozenset(bonds_here)))

@@ -131,23 +131,31 @@ class MolecularDataset:
         max_edges: Optional[int] = None,
         node_multiple: int = 8,
         verbose: bool = True,
+        use_native: bool = True,
     ):
         targets = np.asarray(targets, dtype=np.float32).reshape(-1)
-        graphs, fps, kept_targets, kept_smiles = [], [], [], []
-        fp_fn = FINGERPRINTS[fingerprint] if fingerprint else None
-        for smi, y in zip(smiles, targets):
-            try:
-                feats, edge_index = smiles_to_graph(str(smi),
-                                                    featurizer=featurizer)
-                fp = fp_fn(str(smi))[0] if fp_fn else None
-            except ValueError as e:
-                if verbose:
-                    print(e)
-                continue
-            graphs.append((feats, edge_index))
-            fps.append(fp)
-            kept_targets.append(y)
-            kept_smiles.append(str(smi))
+        graphs = fps = kept_targets = kept_smiles = None
+        if use_native:
+            native = self._featurize_native(
+                smiles, targets, fingerprint, featurizer, verbose)
+            if native is not None:
+                graphs, fps, kept_targets, kept_smiles = native
+        if graphs is None:
+            graphs, fps, kept_targets, kept_smiles = [], [], [], []
+            fp_fn = FINGERPRINTS[fingerprint] if fingerprint else None
+            for smi, y in zip(smiles, targets):
+                try:
+                    feats, edge_index = smiles_to_graph(
+                        str(smi), featurizer=featurizer)
+                    fp = fp_fn(str(smi))[0] if fp_fn else None
+                except ValueError as e:
+                    if verbose:
+                        print(e)
+                    continue
+                graphs.append((feats, edge_index))
+                fps.append(fp)
+                kept_targets.append(y)
+                kept_smiles.append(str(smi))
 
         if not graphs:
             raise ValueError("No valid molecules in dataset")
@@ -205,6 +213,47 @@ class MolecularDataset:
             if fps[i] is not None:
                 self.fp[i] = fps[i]
         self.n = n
+
+    @staticmethod
+    def _featurize_native(smiles, targets, fingerprint, featurizer,
+                          verbose):
+        """Fast path: batch-featurize with the C++ library (bit-identical
+        to the Python path; see csrc/featurizer.cpp).  Returns the same
+        (graphs, fps, targets, smiles) lists the Python loop builds, or
+        None when the native path doesn't cover this configuration."""
+        native_fps = {None: (0, False), "ecfp1024": (1024, False),
+                      "ecfp2048": (2048, False), "morgan1024": (1024, False),
+                      "morgan2048": (2048, False), "fcfp1024": (1024, True)}
+        if fingerprint not in native_fps or featurizer not in ("35", "5"):
+            return None
+        try:
+            from ..chem.native import featurize_batch_native
+        except Exception:
+            return None
+        fp_bits, use_features = native_fps[fingerprint]
+        res = featurize_batch_native(
+            [str(s) for s in smiles], 35 if featurizer == "35" else 5,
+            max_nodes=128, max_edges=288, fp_bits=fp_bits,
+            use_features=use_features)
+        if res is None:
+            return None
+        nodes, edges, node_mask, edge_mask, fp, status = res
+        graphs, fps, kept_targets, kept_smiles = [], [], [], []
+        for i, smi in enumerate(smiles):
+            if status[i] <= 0:
+                if verbose:
+                    print(f"Invalid SMILES string: {smi!r}"
+                          if status[i] == -1 else
+                          f"[data] molecule exceeds native budget: {smi!r}")
+                continue
+            na = int(status[i])
+            ne = int(edge_mask[i].sum())
+            graphs.append((nodes[i, :na].copy(),
+                           edges[i, :, :ne].copy()))
+            fps.append(fp[i].copy() if fp is not None else None)
+            kept_targets.append(targets[i])
+            kept_smiles.append(str(smi))
+        return graphs, fps, kept_targets, kept_smiles
 
     def __len__(self) -> int:
         return self.n
