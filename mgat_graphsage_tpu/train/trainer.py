@@ -294,8 +294,18 @@ class Trainer:
             state: Optional[TrainState] = None,
             start_epoch: int = 0,
             verbose: bool = True,
-            save_best: bool = True) -> Tuple[TrainState, TrainState, List]:
-        """Full training run; returns (final_state, best_state, history)."""
+            save_best: bool = True,
+            save_min_interval_s: float = 60.0
+            ) -> Tuple[TrainState, TrainState, List]:
+        """Full training run; returns (final_state, best_state, history).
+
+        Best-checkpoint handling is TPU-tunnel-aware: the best state is
+        kept as device arrays (holding the reference simply disables
+        buffer donation for that step) and serialized to disk at most
+        every ``save_min_interval_s`` — plus once at the end — instead of
+        the reference's save-on-every-improvement, which at this model
+        size writes ~400 MB per improved epoch (``train.py:287-296``).
+        """
         cfg = self.cfg
         epochs = cfg.epochs if epochs is None else epochs
         if state is None:
@@ -304,6 +314,10 @@ class Trainer:
         best_state = state
         best_metric = float("inf")
         best_norm_mse = float("inf")
+        best_row: Dict = {}
+        last_save = 0.0
+        ckpt_path = os.path.join(self.ckpt_dir, "best_model.msgpack") \
+            if self.ckpt_dir else None
         for epoch in range(start_epoch, epochs):
             rng, sub = jax.random.split(rng)
             state, tr = self.train_epoch(state, epoch, sub)
@@ -317,12 +331,14 @@ class Trainer:
                 if metric < best_metric:
                     best_metric = metric
                     best_norm_mse = ev["val_mse"]
-                    best_state = jax.device_get(state)
+                    best_state = state
+                    best_row = row
                     row["new_best"] = True
-                    if save_best and self.ckpt_dir:
-                        self.save(os.path.join(self.ckpt_dir,
-                                               "best_model.msgpack"),
-                                  best_state, row)
+                    now = time.perf_counter()
+                    if save_best and ckpt_path and \
+                            now - last_save > save_min_interval_s:
+                        self.save(ckpt_path, best_state, row)
+                        last_save = now
             self.history.append(row)
             if self.log_path:
                 with open(self.log_path, "a") as f:
@@ -338,6 +354,8 @@ class Trainer:
                 if row.get("new_best"):
                     msg += "  *** new best ***"
                 print(msg)
+        if save_best and ckpt_path and best_row:
+            self.save(ckpt_path, best_state, best_row)
         self.best_metric = best_metric
         self.best_norm_mse = best_norm_mse
         return state, best_state, self.history
