@@ -64,13 +64,14 @@ def load_model_from_checkpoint(ckpt_path: str):
         return model.init(rng, nodes, adj, nmask)
 
     variables = jax.block_until_ready(_init(jax.random.PRNGKey(0)))
-    from flax.core import FrozenDict
+    from flax.core import unfreeze
     tx = make_optimizer(cfg)
+    params = unfreeze(variables["params"])
     target = TrainState(step=jnp.zeros((), jnp.int32),
-                        params=variables["params"],
-                        batch_stats=variables.get("batch_stats",
-                                                  FrozenDict()),
-                        opt_state=tx.init(variables["params"]))
+                        params=params,
+                        batch_stats=unfreeze(
+                            variables.get("batch_stats", {})),
+                        opt_state=tx.init(params))
     state, _ = load_checkpoint(ckpt_path, jax.device_get(target))
     return model, state, cfg, scaler, (max_nodes, max_edges)
 

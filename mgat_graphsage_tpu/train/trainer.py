@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
+from flax.core import FrozenDict, unfreeze
 
 from ..data import GraphBatch, MolecularDataset
 from ..models import (
@@ -157,8 +157,8 @@ class Trainer:
         # relay can deadlock host readback when a jit consumes another
         # jit's not-yet-materialized outputs
         variables = jax.block_until_ready(variables)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", FrozenDict())
+        params = unfreeze(variables["params"])
+        batch_stats = unfreeze(variables.get("batch_stats", {}))
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats,
                            opt_state=self.tx.init(params))
@@ -195,7 +195,7 @@ class Trainer:
                 latent = None
             new_bs = new_vars.get("batch_stats", batch_stats) if train \
                 else batch_stats
-            return pred, latent, new_bs
+            return pred, latent, unfreeze(new_bs)
 
         def loss_fn(params, batch_stats, batch, rng):
             pred, latent, new_bs = forward(params, batch_stats, batch, rng,
@@ -231,8 +231,53 @@ class Trainer:
                                    batch["sample_mask"])
             return pred, denorm, mse, orig_mse
 
+        def train_epoch_scan(state: TrainState, perm: jnp.ndarray,
+                             sample_masks: jnp.ndarray, rng, data):
+            """One WHOLE epoch as a single XLA program.
+
+            The tunneled-TPU-native design: the dataset lives on device;
+            ``perm [n_batches, B]`` indexes it, batches are gathered on
+            device inside a ``lax.scan`` over steps.  Host<->device
+            traffic per epoch is one index array + one scalar out,
+            instead of per-step batch uploads + metric syncs.
+            """
+            def body(carry, inp):
+                st, r = carry
+                idx, smask = inp
+                batch = {k: v[idx] for k, v in data.items()
+                         if k not in ("y", "y_orig")}
+                batch["y"] = data["y"][idx]
+                batch["y_orig"] = data["y_orig"][idx]
+                batch["sample_mask"] = smask
+                r, sub = jax.random.split(r)
+                st, metrics = train_step(st, batch, sub)
+                return (st, r), metrics["loss"]
+
+            (state, _), losses = jax.lax.scan(
+                body, (state, rng), (perm, sample_masks))
+            return state, losses.mean()
+
+        def eval_scan(state: TrainState, perm: jnp.ndarray,
+                      sample_masks: jnp.ndarray, data):
+            def body(_, inp):
+                idx, smask = inp
+                batch = {k: v[idx] for k, v in data.items()
+                         if k not in ("y", "y_orig")}
+                batch["y"] = data["y"][idx]
+                batch["y_orig"] = data["y_orig"][idx]
+                batch["sample_mask"] = smask
+                pred, dn, mse, omse = eval_step(state, batch)
+                return None, (pred, dn, mse, omse)
+
+            _, (preds, denorms, mses, omses) = jax.lax.scan(
+                body, None, (perm, sample_masks))
+            return preds, denorms, mses.mean(), omses.mean()
+
         self._train_step = jax.jit(train_step, donate_argnums=0)
         self._eval_step = jax.jit(eval_step)
+        self._train_epoch_scan = jax.jit(train_epoch_scan,
+                                         donate_argnums=0)
+        self._eval_scan = jax.jit(eval_scan)
 
     # ------------------------------------------------------------------
     def _to_device(self, batch: GraphBatch) -> Dict[str, jnp.ndarray]:
@@ -241,25 +286,70 @@ class Trainer:
             d = shard_batch(d, self.mesh)
         return d
 
+    def _device_dataset(self, ds: MolecularDataset) -> Dict[str, jnp.ndarray]:
+        """Upload a dataset's padded arrays to device once (cached)."""
+        cache = getattr(self, "_dev_cache", {})
+        key = id(ds)
+        if key not in cache:
+            cache[key] = {
+                "nodes": jnp.asarray(ds.nodes),
+                "edges": jnp.asarray(ds.edges),
+                "node_mask": jnp.asarray(ds.node_mask),
+                "edge_mask": jnp.asarray(ds.edge_mask),
+                "fp": jnp.asarray(ds.fp),
+                "y": jnp.asarray(ds.y),
+                "y_orig": jnp.asarray(ds.y_orig),
+            }
+            self._dev_cache = cache
+        return cache[key]
+
+    @staticmethod
+    def _epoch_indices(n: int, batch_size: int,
+                       rng: Optional[np.random.Generator] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """(perm [n_batches, B], sample_mask [n_batches, B]); the final
+        partial batch is padded with index 0 rows masked out."""
+        idx = np.arange(n) if rng is None else rng.permutation(n)
+        n_batches = (n + batch_size - 1) // batch_size
+        pad = n_batches * batch_size - n
+        mask = np.ones(n_batches * batch_size, np.float32)
+        if pad:
+            idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+            mask[-pad:] = 0.0
+        return (idx.reshape(n_batches, batch_size).astype(np.int32),
+                mask.reshape(n_batches, batch_size))
+
     def train_epoch(self, state: TrainState, epoch: int,
                     rng: jax.Array) -> Tuple[TrainState, Dict]:
         if self._train_step is None:
             self._build_steps()
         cfg = self.cfg
-        total, n_batches = 0.0, 0
-        n_mol = 0
         t0 = time.perf_counter()
-        for batch in self.train_ds.batches(cfg.batch_size, shuffle=True,
-                                           seed=cfg.seed + epoch):
-            rng, sub = jax.random.split(rng)
-            state, metrics = self._train_step(state, self._to_device(batch),
-                                              sub)
-            total += float(metrics["loss"])
-            n_batches += 1
-            n_mol += int(batch.sample_mask.sum())
+        if self.mesh is None:
+            # fast path: whole epoch in one scan over the on-device dataset
+            data = self._device_dataset(self.train_ds)
+            host_rng = np.random.default_rng(cfg.seed + epoch)
+            perm, smask = self._epoch_indices(len(self.train_ds),
+                                              cfg.batch_size, host_rng)
+            state, mean_loss = self._train_epoch_scan(
+                state, jnp.asarray(perm), jnp.asarray(smask), rng, data)
+            n_mol = len(self.train_ds)
+            total_loss = float(mean_loss)
+        else:
+            total, n_batches, n_mol = 0.0, 0, 0
+            for batch in self.train_ds.batches(cfg.batch_size,
+                                               shuffle=True,
+                                               seed=cfg.seed + epoch):
+                rng, sub = jax.random.split(rng)
+                state, metrics = self._train_step(
+                    state, self._to_device(batch), sub)
+                total += float(metrics["loss"])
+                n_batches += 1
+                n_mol += int(batch.sample_mask.sum())
+            total_loss = total / max(n_batches, 1)
         dt = time.perf_counter() - t0
         return state, {
-            "train_loss": total / max(n_batches, 1),
+            "train_loss": total_loss,
             "epoch_time_s": dt,
             "molecules_per_s": n_mol / dt if dt > 0 else 0.0,
         }
@@ -273,6 +363,18 @@ class Trainer:
             self._build_steps()
         ds = ds or self.val_ds
         cfg = self.cfg
+        if self.mesh is None:
+            data = self._device_dataset(ds)
+            perm, smask = self._epoch_indices(len(ds), cfg.eval_batch_size)
+            preds, denorms, mse, omse = self._eval_scan(
+                state, jnp.asarray(perm), jnp.asarray(smask), data)
+            keep = smask.reshape(-1) > 0
+            return {
+                "val_mse": float(mse),
+                "original_mse": float(omse),
+                "pred": np.asarray(preds).reshape(-1)[keep],
+                "pred_denorm": np.asarray(denorms).reshape(-1)[keep],
+            }
         mses, orig_mses = [], []
         preds, denorms = [], []
         for batch in ds.batches(cfg.eval_batch_size):
