@@ -41,8 +41,10 @@ class TrainConfig:
     seed: int = 42
     # selection: 'original_mse' (train.py:284) or 'val_mse' (baselines)
     select_metric: str = "original_mse"
-    # precision of the matmul compute path ("float32" | "bfloat16")
-    matmul_precision: str = "float32"
+    # MXU matmul precision: "bfloat16" = single-pass bf16 multiplies with
+    # fp32 accumulation (fast TPU default); "float32" = highest-precision
+    # multi-pass, for strict numeric-parity runs
+    matmul_precision: str = "bfloat16"
 
     @property
     def is_hybrid(self) -> bool:

@@ -174,7 +174,17 @@ class Trainer:
         mean = jnp.float32(self.scaler.mean_)
         scale = jnp.float32(self.scaler.scale_)
 
+        # 'float32' -> highest-precision MXU passes (parity runs);
+        # 'bfloat16' -> single-pass bf16 multiplies with fp32 accumulate
+        # (the fast TPU default).
+        matmul_prec = ("highest" if cfg.matmul_precision == "float32"
+                       else "default")
+
         def forward(params, batch_stats, batch, rng, train: bool):
+            return jax.default_matmul_precision(matmul_prec)(
+                _forward_inner)(params, batch_stats, batch, rng, train)
+
+        def _forward_inner(params, batch_stats, batch, rng, train: bool):
             n = batch["nodes"].shape[1]
             adj = dense_adjacency(batch["edges"], batch["edge_mask"], n)
             variables = {"params": params, "batch_stats": batch_stats}
@@ -433,7 +443,11 @@ class Trainer:
                 if metric < best_metric:
                     best_metric = metric
                     best_norm_mse = ev["val_mse"]
-                    best_state = state
+                    # on-device copy: the train step donates its input
+                    # state, which DELETES the old buffers regardless of
+                    # live references — a bare `best_state = state` would
+                    # be invalidated by the next epoch
+                    best_state = jax.tree_util.tree_map(jnp.copy, state)
                     best_row = row
                     row["new_best"] = True
                     now = time.perf_counter()

@@ -1,0 +1,121 @@
+"""Data-pipeline tests: scaler, batching, CSV round-trip, bundled splits."""
+
+import numpy as np
+import pytest
+
+from mgat_graphsage_tpu.data import (
+    MolecularDataset,
+    StandardScaler,
+    TRAIN_CSV,
+    TEST_CSV,
+    VAL_CSV,
+    generate_splits,
+    load_csv,
+    pad_to_multiple,
+    write_csv,
+)
+
+SMILES = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "c1ccncc1", "CCCC",
+          "CC(C)O", "c1ccc(Cl)cc1", "CC(=O)Oc1ccccc1C(=O)O", "CCS"]
+Y = np.linspace(4.0, 9.0, 10).astype(np.float32)
+
+
+def test_standard_scaler_matches_sklearn():
+    from sklearn.preprocessing import StandardScaler as SK
+
+    y = np.random.default_rng(0).normal(6, 1.4, 200).astype(np.float32)
+    ours = StandardScaler().fit(y)
+    sk = SK().fit(y.reshape(-1, 1))
+    assert ours.mean_ == pytest.approx(float(sk.mean_[0]), rel=1e-6)
+    assert ours.scale_ == pytest.approx(float(sk.scale_[0]), rel=1e-5)
+    np.testing.assert_allclose(ours.transform(y),
+                               sk.transform(y.reshape(-1, 1)).reshape(-1),
+                               rtol=1e-5)
+    np.testing.assert_allclose(ours.inverse_transform(ours.transform(y)),
+                               y, rtol=1e-5)
+
+
+def test_dataset_shapes_and_masks():
+    ds = MolecularDataset(SMILES, Y, fit_scaler=True, verbose=False)
+    assert len(ds) == 10
+    assert ds.nodes.shape[0] == 10
+    assert ds.nodes.shape[2] == 35
+    assert ds.fp.shape == (10, 1024)
+    # masks count real atoms
+    assert ds.node_mask[0].sum() == 3  # CCO
+    assert ds.node_mask[1].sum() == 6  # benzene
+    # normalized targets have ~zero mean
+    assert abs(ds.y.mean()) < 1e-5
+
+
+def test_native_and_python_paths_identical():
+    a = MolecularDataset(SMILES, Y, fit_scaler=True, verbose=False,
+                         use_native=True)
+    b = MolecularDataset(SMILES, Y, fit_scaler=True, verbose=False,
+                         use_native=False,
+                         max_nodes=a.max_nodes, max_edges=a.max_edges)
+    np.testing.assert_array_equal(a.nodes, b.nodes)
+    np.testing.assert_array_equal(a.edges, b.edges)
+    np.testing.assert_array_equal(a.fp, b.fp)
+
+
+def test_batching_final_batch_padded():
+    ds = MolecularDataset(SMILES, Y, fit_scaler=True, fingerprint=None,
+                          verbose=False)
+    batches = list(ds.batches(4))
+    assert len(batches) == 3
+    assert all(b.nodes.shape[0] == 4 for b in batches)
+    assert batches[-1].sample_mask.sum() == 2
+    assert batches[0].sample_mask.sum() == 4
+    # drop_last drops the partial batch
+    assert len(list(ds.batches(4, drop_last=True))) == 2
+
+
+def test_shuffle_deterministic():
+    ds = MolecularDataset(SMILES, Y, fit_scaler=True, fingerprint=None,
+                          verbose=False)
+    a = next(ds.batches(8, shuffle=True, seed=5)).y
+    b = next(ds.batches(8, shuffle=True, seed=5)).y
+    c = next(ds.batches(8, shuffle=True, seed=6)).y
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_csv_roundtrip(tmp_path):
+    p = str(tmp_path / "x.csv")
+    write_csv(p, SMILES, Y)
+    sm, y = load_csv(p)
+    assert sm == SMILES
+    np.testing.assert_allclose(y, Y, atol=1e-4)
+
+
+def test_bundled_splits_frozen():
+    """The committed datasets must match the seed-42 generator exactly
+    (regression guard for reproducibility)."""
+    sm, y = load_csv(TRAIN_CSV)
+    vs, _ = load_csv(VAL_CSV)
+    ts, ty = load_csv(TEST_CSV)
+    assert (len(sm), len(vs), len(ts)) == (3000, 500, 961)
+    (g_sm, g_y), _, (g_ts, g_ty) = generate_splits(3000, 500, 961, seed=42)
+    assert sm[:50] == g_sm[:50]
+    assert ts[:50] == g_ts[:50]
+    np.testing.assert_allclose(y[:50], np.round(g_y[:50], 4), atol=1e-4)
+    # disjoint splits
+    assert not set(sm) & set(ts)
+
+
+def test_pad_to_multiple():
+    assert pad_to_multiple(11, 8) == 16
+    assert pad_to_multiple(16, 8) == 16
+    assert pad_to_multiple(1, 16) == 16
+
+
+def test_over_budget_molecules_dropped_consistently():
+    ds = MolecularDataset(SMILES, Y, fit_scaler=True, fingerprint=None,
+                          max_nodes=6, max_edges=16, verbose=False)
+    # only molecules with <= 6 atoms survive; arrays and smiles align
+    assert all(len(s) for s in ds.smiles)
+    assert len(ds) == len(ds.smiles) == ds.nodes.shape[0]
+    for i, smi in enumerate(ds.smiles):
+        from mgat_graphsage_tpu.chem import parse_smiles
+        assert parse_smiles(smi).GetNumAtoms() == int(ds.node_mask[i].sum())
