@@ -301,7 +301,9 @@ class Trainer:
         cache = getattr(self, "_dev_cache", {})
         key = id(ds)
         if key not in cache:
-            cache[key] = {
+            # block_until_ready: the axon relay can deadlock a later
+            # readback when a program consumes unmaterialized transfers
+            cache[key] = jax.block_until_ready({
                 "nodes": jnp.asarray(ds.nodes),
                 "edges": jnp.asarray(ds.edges),
                 "node_mask": jnp.asarray(ds.node_mask),
@@ -309,7 +311,7 @@ class Trainer:
                 "fp": jnp.asarray(ds.fp),
                 "y": jnp.asarray(ds.y),
                 "y_orig": jnp.asarray(ds.y_orig),
-            }
+            })
             self._dev_cache = cache
         return cache[key]
 
@@ -341,8 +343,10 @@ class Trainer:
             host_rng = np.random.default_rng(cfg.seed + epoch)
             perm, smask = self._epoch_indices(len(self.train_ds),
                                               cfg.batch_size, host_rng)
+            inputs = jax.block_until_ready(
+                (jnp.asarray(perm), jnp.asarray(smask), rng))
             state, mean_loss = self._train_epoch_scan(
-                state, jnp.asarray(perm), jnp.asarray(smask), rng, data)
+                state, inputs[0], inputs[1], inputs[2], data)
             n_mol = len(self.train_ds)
             total_loss = float(mean_loss)
         else:
@@ -376,8 +380,10 @@ class Trainer:
         if self.mesh is None:
             data = self._device_dataset(ds)
             perm, smask = self._epoch_indices(len(ds), cfg.eval_batch_size)
+            inputs = jax.block_until_ready(
+                (jnp.asarray(perm), jnp.asarray(smask)))
             preds, denorms, mse, omse = self._eval_scan(
-                state, jnp.asarray(perm), jnp.asarray(smask), data)
+                state, inputs[0], inputs[1], data)
             keep = smask.reshape(-1) > 0
             return {
                 "val_mse": float(mse),
