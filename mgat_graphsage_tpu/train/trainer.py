@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict, unfreeze
+from flax.core import unfreeze
 
 from ..data import GraphBatch, MolecularDataset
 from ..models import (
