@@ -23,4 +23,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402
 
+# sitecustomize imports jax at interpreter start with JAX_PLATFORMS=axon
+# already exported, so the env vars above are read too late — force the
+# platform through the config API (effective until first backend init).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
