@@ -33,7 +33,8 @@ from ..train.config import TrainConfig
 from ..train.trainer import TrainState, build_model, make_optimizer
 from .metrics import regression_metrics
 
-__all__ = ["load_model_from_checkpoint", "predict_dataset", "predict_csv"]
+__all__ = ["load_model_from_checkpoint", "predict_dataset", "predict_csv",
+           "Predictor"]
 
 
 def load_model_from_checkpoint(ckpt_path: str):
@@ -134,6 +135,32 @@ def predict_csv(ckpt_path: str, csv_path: str,
         if verbose:
             print(f"Prediction results saved to {out_csv}")
     return metrics, preds
+
+
+class Predictor:
+    """Persistent serving-style handle: load once, predict many.
+
+    >>> p = Predictor("checkpoints/flagship/best_model.msgpack")
+    >>> p(["CCO", "c1ccccc1O"])          # -> np.ndarray of pChEMBL values
+    """
+
+    def __init__(self, ckpt_path: str):
+        (self.model, self.state, self.cfg, self.scaler,
+         (self.max_nodes, self.max_edges)) = \
+            load_model_from_checkpoint(ckpt_path)
+
+    def __call__(self, smiles, batch_size: int = 64) -> np.ndarray:
+        if isinstance(smiles, str):
+            smiles = [smiles]
+        ds = MolecularDataset(list(smiles),
+                              np.zeros(len(smiles), np.float32),
+                              scaler=self.scaler,
+                              fingerprint=self.cfg.fingerprint,
+                              featurizer=self.cfg.featurizer,
+                              max_nodes=self.max_nodes,
+                              max_edges=self.max_edges, verbose=False)
+        return predict_dataset(self.model, self.state, self.cfg,
+                               self.scaler, ds, batch_size)
 
 
 def main():
