@@ -62,7 +62,8 @@ def spring_layout(mol: Mol, iterations: int = 120,
         delta = pos[:, None, :] - pos[None, :, :]
         dist = np.linalg.norm(delta, axis=-1) + 1e-9
         rep = (k * k / dist ** 2)[..., None] * delta
-        att = np.where(adj[..., None], (dist / k)[..., None] * -delta / dist[..., None], 0.0)
+        # Fruchterman-Reingold attraction: |f| = d^2/k along -delta/d
+        att = np.where(adj[..., None], -(dist / k)[..., None] * delta, 0.0)
         disp = rep.sum(1) + att.sum(1)
         length = np.linalg.norm(disp, axis=-1, keepdims=True) + 1e-9
         pos = pos + disp / length * np.minimum(length, t)

@@ -80,6 +80,24 @@ def test_eval_handles_partial_final_batch(small_data):
     assert ev["pred"].shape[0] == len(val)
 
 
+def test_predictor_api(tmp_path, small_data):
+    """Serving-style Predictor: load checkpoint once, predict raw SMILES."""
+    from mgat_graphsage_tpu.eval.predict import Predictor
+
+    train, val = small_data
+    cfg = get_config("graphsage", epochs=2, batch_size=32)
+    trainer = Trainer(cfg, train, val, ckpt_dir=str(tmp_path))
+    trainer.fit(verbose=False)
+    p = Predictor(str(tmp_path / "best_model.msgpack"))
+    preds = p(["CCO", "c1ccccc1O", "CC(=O)Oc1ccccc1C(=O)O"])
+    assert preds.shape == (3,)
+    assert np.all(np.isfinite(preds))
+    # single-string convenience
+    one = p("CCO")
+    assert one.shape == (1,)
+    np.testing.assert_allclose(one[0], preds[0], atol=1e-5)
+
+
 def test_resume_training(tmp_path, small_data):
     train, val = small_data
     cfg = get_config("graphsage", epochs=2, batch_size=32)
