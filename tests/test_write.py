@@ -1,0 +1,60 @@
+"""SMILES writer: round-trip through the parser preserves the graph."""
+
+import pytest
+
+from mgat_graphsage_tpu.chem import parse_smiles
+from mgat_graphsage_tpu.chem.write import (
+    atom_environment,
+    fragment_to_smiles,
+    mol_to_smiles,
+)
+
+CORPUS = [
+    "C", "CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O",
+    "Cn1cnc2c1c(=O)n(C)c(=O)n2C", "C1CC2CCC1CC2",
+    "c1ccc2[nH]c(Sc3ccccc3)nc2c1", "CC(C)(C)OC(=O)N1CCC(N)CC1",
+    "N#Cc1ccccc1F", "CS(=O)(=O)N", "CC(=O)[O-]", "[NH4+]",
+    "OCC(O)C(O)C(O)C(O)CO", "c1cc2ccc3cccc4ccc(c1)c2c34",  # pyrene
+]
+
+
+@pytest.mark.parametrize("smiles", CORPUS)
+def test_roundtrip_preserves_graph(smiles):
+    m1 = parse_smiles(smiles)
+    written = mol_to_smiles(m1)
+    m2 = parse_smiles(written)
+    assert m2.GetNumAtoms() == m1.GetNumAtoms()
+    assert m2.GetNumBonds() == m1.GetNumBonds()
+    assert sorted(a.GetSymbol() for a in m2.GetAtoms()) == \
+        sorted(a.GetSymbol() for a in m1.GetAtoms())
+    assert sorted(a.GetTotalNumHs() for a in m2.GetAtoms()) == \
+        sorted(a.GetTotalNumHs() for a in m1.GetAtoms())
+    # degree multiset preserved (graph isomorphism proxy)
+    assert sorted(a.GetDegree() for a in m2.GetAtoms()) == \
+        sorted(a.GetDegree() for a in m1.GetAtoms())
+
+
+def test_atom_environment_radius():
+    m = parse_smiles("CCCCC")  # pentane
+    assert atom_environment(m, 0, 0) == {0}
+    assert atom_environment(m, 0, 1) == {0, 1}
+    assert atom_environment(m, 2, 1) == {1, 2, 3}
+    assert atom_environment(m, 2, 2) == {0, 1, 2, 3, 4}
+
+
+def test_fragment_smiles_subset():
+    m = parse_smiles("CC(=O)Oc1ccccc1")
+    frag = fragment_to_smiles(m, {0, 1, 2})  # acetyl
+    m2 = parse_smiles(frag)
+    assert m2.GetNumAtoms() == 3
+    assert sorted(a.GetSymbol() for a in m2.GetAtoms()) == ["C", "C", "O"]
+    # double bond preserved
+    assert any(b.order == 2 for b in m2.GetBonds())
+
+
+def test_charged_and_isotope_tokens():
+    m = parse_smiles("[13C](=O)([O-])O")
+    w = mol_to_smiles(m)
+    m2 = parse_smiles(w)
+    assert any(a.isotope == 13 for a in m2.GetAtoms())
+    assert any(a.GetFormalCharge() == -1 for a in m2.GetAtoms())
