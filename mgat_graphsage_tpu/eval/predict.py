@@ -66,14 +66,24 @@ def load_model_from_checkpoint(ckpt_path: str):
 
     variables = jax.block_until_ready(_init(jax.random.PRNGKey(0)))
     from flax.core import unfreeze
-    tx = make_optimizer(cfg)
+    from ..train.checkpoint import checkpoint_is_light
     params = unfreeze(variables["params"])
-    target = TrainState(step=jnp.zeros((), jnp.int32),
-                        params=params,
-                        batch_stats=unfreeze(
-                            variables.get("batch_stats", {})),
-                        opt_state=tx.init(params))
-    state, _ = load_checkpoint(ckpt_path, jax.device_get(target))
+    batch_stats = unfreeze(variables.get("batch_stats", {}))
+    step = jnp.zeros((), jnp.int32)
+    if checkpoint_is_light(ckpt_path):
+        target = {"step": step, "params": params,
+                  "batch_stats": batch_stats}
+        restored, _ = load_checkpoint(ckpt_path, jax.device_get(target))
+        state = TrainState(step=restored["step"],
+                           params=restored["params"],
+                           batch_stats=restored["batch_stats"],
+                           opt_state=None)
+    else:
+        tx = make_optimizer(cfg)
+        target = TrainState(step=step, params=params,
+                            batch_stats=batch_stats,
+                            opt_state=tx.init(params))
+        state, _ = load_checkpoint(ckpt_path, jax.device_get(target))
     return model, state, cfg, scaler, (max_nodes, max_edges)
 
 

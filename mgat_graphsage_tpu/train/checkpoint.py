@@ -18,18 +18,38 @@ import jax
 import numpy as np
 from flax import serialization
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
+           "checkpoint_is_light"]
 
 
 def save_checkpoint(path: str, state: Any,
-                    metadata: Optional[Dict] = None) -> None:
+                    metadata: Optional[Dict] = None,
+                    light: bool = False) -> None:
+    """Serialize a train-state pytree (+ JSON sidecar).
+
+    ``light=True`` drops the optimizer state (2/3 of the bytes for
+    Adam) — enough for inference and best-model selection; use the full
+    form for resume checkpoints.  The sidecar records which form was
+    written so loaders can build the right target structure.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if light and hasattr(state, "opt_state"):
+        state = {"step": state.step, "params": state.params,
+                 "batch_stats": state.batch_stats}
     state = jax.device_get(state)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(state))
     meta = dict(metadata or {})
+    meta["light"] = bool(light)
     with open(path + ".json", "w") as f:
         json.dump(_jsonify(meta), f, indent=2)
+
+
+def checkpoint_is_light(path: str) -> bool:
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            return bool(json.load(f).get("light", False))
+    return False
 
 
 def load_checkpoint(path: str, target: Any) -> Tuple[Any, Dict]:

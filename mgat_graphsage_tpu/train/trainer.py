@@ -459,7 +459,10 @@ class Trainer:
                     now = time.perf_counter()
                     if save_best and ckpt_path and \
                             now - last_save > save_min_interval_s:
-                        self.save(ckpt_path, best_state, row)
+                        # intermediate saves are params-only (light):
+                        # device_get of the optimizer state triples the
+                        # bytes pulled over the TPU tunnel
+                        self.save(ckpt_path, best_state, row, light=True)
                         last_save = now
             self.history.append(row)
             if self.log_path:
@@ -484,7 +487,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self, path: str, state: TrainState,
-             extra_meta: Optional[Dict] = None) -> None:
+             extra_meta: Optional[Dict] = None,
+             light: bool = False) -> None:
         meta = {
             "config": dataclasses.asdict(self.cfg),
             "scaler": self.scaler.to_dict(),
@@ -494,8 +498,17 @@ class Trainer:
         if extra_meta:
             meta.update({k: v for k, v in extra_meta.items()
                          if isinstance(v, (int, float, bool, str))})
-        save_checkpoint(path, state, meta)
+        save_checkpoint(path, state, meta, light=light)
 
     def load(self, path: str) -> Tuple[TrainState, Dict]:
-        target = jax.device_get(self.init_state())
-        return load_checkpoint(path, target)
+        from .checkpoint import checkpoint_is_light
+
+        fresh = jax.device_get(self.init_state())
+        if checkpoint_is_light(path):
+            target = {"step": fresh.step, "params": fresh.params,
+                      "batch_stats": fresh.batch_stats}
+            restored, meta = load_checkpoint(path, target)
+            return fresh.replace(step=restored["step"],
+                                 params=restored["params"],
+                                 batch_stats=restored["batch_stats"]), meta
+        return load_checkpoint(path, fresh)
