@@ -80,6 +80,22 @@ def test_eval_handles_partial_final_batch(small_data):
     assert ev["pred"].shape[0] == len(val)
 
 
+def test_training_deterministic(small_data):
+    """Same seed -> bit-identical training trajectory (the reference pins
+    seed 42 everywhere, train.py:13-16; our replacement for its
+    cudnn-deterministic setting)."""
+    train, val = small_data
+    cfg = get_config("graphsage", epochs=3, batch_size=32)
+    h1 = Trainer(cfg, train, val).fit(verbose=False)[2]
+    h2 = Trainer(cfg, train, val).fit(verbose=False)[2]
+    for a, b in zip(h1, h2):
+        assert a["train_loss"] == b["train_loss"]
+        assert a["val_mse"] == b["val_mse"]
+    # different seed -> different trajectory
+    h3 = Trainer(cfg.replace(seed=7), train, val).fit(verbose=False)[2]
+    assert h3[-1]["train_loss"] != h1[-1]["train_loss"]
+
+
 def test_predictor_api(tmp_path, small_data):
     """Serving-style Predictor: load checkpoint once, predict raw SMILES."""
     from mgat_graphsage_tpu.eval.predict import Predictor
