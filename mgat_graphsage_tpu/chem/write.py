@@ -66,12 +66,36 @@ def _bond_token(mol: Mol, i: int, j: int) -> str:
 
 
 def fragment_to_smiles(mol: Mol, atom_ids: Iterable[int]) -> str:
-    """SMILES of the induced subgraph over ``atom_ids`` (first connected
-    fragment if the induced graph is disconnected)."""
+    """SMILES of the induced subgraph over ``atom_ids``; disconnected
+    components are joined with ``.``."""
     keep = sorted(set(atom_ids))
     if not keep:
         return ""
     keep_set = set(keep)
+    # split into connected components; emit each and join with '.'
+    comp_seen: Set[int] = set()
+    components = []
+    for start in keep:
+        if start in comp_seen:
+            continue
+        comp = {start}
+        stack = [start]
+        while stack:
+            v = stack.pop()
+            for nb in mol.GetAtoms()[v]._neighbors:
+                if nb in keep_set and nb not in comp:
+                    comp.add(nb)
+                    stack.append(nb)
+        comp_seen |= comp
+        components.append(comp)
+    if len(components) > 1:
+        return ".".join(_connected_fragment_to_smiles(mol, c)
+                        for c in components)
+    return _connected_fragment_to_smiles(mol, keep_set)
+
+
+def _connected_fragment_to_smiles(mol: Mol, keep_set: Set[int]) -> str:
+    keep = sorted(keep_set)
 
     def neighbors_in(idx: int) -> List[int]:
         return [nb for nb in mol.GetAtoms()[idx]._neighbors
