@@ -87,6 +87,21 @@ def test_gnn_explainer_runs_and_respects_masks():
     assert em[0, 4:].sum() == 0
 
 
+def test_gnn_explainer_finds_informative_features():
+    """Behavioral check: with a model that reads ONLY feature 0, the
+    learned feature mask must rank feature 0 above the others (masking
+    it changes the prediction; masking others doesn't)."""
+    nodes, edges, edge_mask, node_mask = _padded(["CCO", "c1ccccc1"])
+    w = jnp.zeros((35, 1)).at[0, 0].set(2.0)
+    gexp = make_gnn_explainer(_toy_graph_apply(w), epochs=80)
+    fm, _ = gexp(nodes, edges, edge_mask, node_mask, jax.random.PRNGKey(3))
+    fm = np.asarray(fm)
+    valid = np.asarray(node_mask) > 0
+    informative = fm[valid][:, 0].mean()
+    others = fm[valid][:, 1:].mean()
+    assert informative > others + 0.05, (informative, others)
+
+
 def test_qcut_bins():
     v = np.arange(100, dtype=float)
     bins = qcut_bins(v, 5)
