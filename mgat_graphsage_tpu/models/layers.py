@@ -165,6 +165,11 @@ class ModifiedGATLayer(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        # the fused kernel keeps the whole [N, N] attention in VMEM — only
+        # valid for per-molecule N (flat mode concatenates the batch into
+        # one node set of B*N, whose scores blow the 16MB VMEM budget)
+        if self.flat or x.shape[-2] > 512:
+            use_pallas = False
         if use_pallas and node_mask is not None and x.ndim == 3:
             from ..ops.pallas_attention import fused_masked_attention
             out = fused_masked_attention(q, k_new, v, node_mask,

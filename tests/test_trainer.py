@@ -80,6 +80,18 @@ def test_eval_handles_partial_final_batch(small_data):
     assert ev["pred"].shape[0] == len(val)
 
 
+def test_flat_attention_mode_trains(small_data):
+    """The reference-quirk batch-global attention mode must train end to
+    end (regression: the Pallas kernel must NOT engage for the flat
+    node set, whose [B*N, B*N] scores exceed VMEM)."""
+    train, val = small_data
+    cfg = get_config("model3", epochs=2, batch_size=32).replace(
+        flat_attention=True)
+    _, _, h = Trainer(cfg, train, val).fit(verbose=False)
+    assert np.isfinite(h[-1]["train_loss"])
+    assert h[-1]["train_loss"] < h[0]["train_loss"]
+
+
 def test_training_deterministic(small_data):
     """Same seed -> bit-identical training trajectory (the reference pins
     seed 42 everywhere, train.py:13-16; our replacement for its
