@@ -12,12 +12,20 @@ perception those featurizers require, from scratch:
   double, triple and aromatic bonds, directional bonds (parsed, treated as
   single), branches, ring-bond closures (including ``%nn``), dot-separated
   fragments;
-- ring perception (cyclomatic ring membership + small-ring enumeration);
-- aromaticity perception for Kekule-written rings (Hückel 4n+2 on simple
-  rings) in addition to lowercase aromatic input;
-- implicit hydrogen assignment per the Daylight valence model;
-- hybridization assignment (SP / SP2 / SP3 / SP3D / SP3D2) matching RDKit's
-  behaviour on the atom types that occur in drug-like molecules.
+- ring perception (cyclomatic ring membership is exact via bridge
+  detection; ring-size enumeration covers rings up to ``MAX_RING`` = 24
+  members, which includes common macrocyclic drugs — larger rings keep
+  ``in_ring=True`` but get no ``ring_sizes`` entry);
+- aromaticity perception for Kekule-written rings (Hückel 4n+2 on 5/6-rings,
+  iterated to a fixpoint so fused systems such as indole converge) in
+  addition to lowercase aromatic input;
+- implicit hydrogen assignment per the Daylight valence model, with
+  pyrrole-type lone-pair donors keeping their hydrogen (RDKit semantics);
+- hybridization assignment via the steric-number model RDKit uses
+  (``MolOps::setHybridization``): orbitals = sigma bonds (heavy degree +
+  total Hs) + lone pairs, mapped 2→SP, 3→SP2, 4→SP3, 5→SP3D, 6→SP3D2 —
+  so hypervalent S/P (sulfones, sulfoxides, phosphates) come out SP3 as
+  RDKit reports them.
 
 Everything downstream (featurizers, fingerprints, descriptors, SMARTS
 matching) is built on the ``Mol`` object defined here.
@@ -72,6 +80,18 @@ _ATOMIC_NUMBERS: Dict[str, int] = {
     "Au": 79, "Hg": 80, "Tl": 81, "Pb": 82, "Bi": 83,
 }
 
+# Valence (outer-shell) electron counts for main-group elements, used by the
+# steric-number hybridization model (lone pairs = (outer - charge - bonded
+# valence) / 2).  Transition metals are absent deliberately: they get no
+# lone-pair term.
+_OUTER_ELECS: Dict[str, int] = {
+    "H": 1, "He": 2, "Li": 1, "Be": 2, "B": 3, "C": 4, "N": 5, "O": 6,
+    "F": 7, "Ne": 8, "Na": 1, "Mg": 2, "Al": 3, "Si": 4, "P": 5, "S": 6,
+    "Cl": 7, "Ar": 8, "K": 1, "Ca": 2, "Ga": 3, "Ge": 4, "As": 5, "Se": 6,
+    "Br": 7, "Kr": 8, "Rb": 1, "Sr": 2, "In": 3, "Sn": 4, "Sb": 5, "Te": 6,
+    "I": 7, "Xe": 8, "Cs": 1, "Ba": 2, "Tl": 3, "Pb": 4, "Bi": 5,
+}
+
 # Pauling electronegativities for the handful of elements that matter in
 # drug-like chemistry (used by descriptor code, e.g. Gasteiger-ish charges).
 _MASSES: Dict[str, float] = {
@@ -116,6 +136,7 @@ class Atom:
     in_ring: bool = False
     ring_sizes: Tuple[int, ...] = ()
     hybridization: str = UNSPECIFIED
+    _lp_donor: bool = False       # aromatized by donating a lone pair
     _degree: int = 0
     _neighbors: List[int] = field(default_factory=list)
     _bond_idxs: List[int] = field(default_factory=list)
@@ -274,13 +295,21 @@ class Mol:
         for a in self.atoms:
             a._degree = len(a._neighbors)
 
+    #: Upper bound on enumerated ring sizes.  Ring *membership* is exact
+    #: for any size (bridge detection); only ``ring_sizes`` / aromaticity
+    #: enumeration is bounded.  24 covers common macrocyclic drugs
+    #: (erythromycin 14, rapamycin 31 is beyond it); atoms of larger rings
+    #: keep ``in_ring=True`` with empty ``ring_sizes``.  The BFS per ring
+    #: bond is O(V+E) regardless of this bound, so raising it is cheap.
+    MAX_RING = 24
+
     def _find_rings(self) -> None:
-        """Enumerate small rings (size <= 8) and mark ring membership.
+        """Enumerate rings (size <= MAX_RING) and mark ring membership.
 
         Ring membership uses the exact criterion "edge lies on some cycle"
         (computed via bridge detection), so fused systems are handled
-        correctly.  Small-ring enumeration (for ring sizes / aromaticity)
-        does a bounded DFS from each bond.
+        correctly.  Ring enumeration (for ring sizes / aromaticity) finds
+        the shortest cycle through each ring bond via bounded BFS.
         """
         n = len(self.atoms)
         # --- bridge detection (Tarjan) to mark ring bonds/atoms exactly ---
@@ -328,7 +357,7 @@ class Mol:
         # --- small ring enumeration via bounded cycle search per ring bond ---
         rings: List[List[int]] = []
         seen_rings = set()
-        MAX_RING = 8
+        MAX_RING = self.MAX_RING
         for b in self.bonds:
             if not b.in_ring:
                 continue
@@ -380,41 +409,65 @@ class Mol:
         Lowercase SMILES input already marks atoms aromatic; this pass
         additionally recognises alternating single/double 5- and 6-membered
         rings of sp2 C/N/O/S so that e.g. ``C1=CC=CC=C1`` equals ``c1ccccc1``.
+        The candidate loop iterates to a fixpoint so fused Kekule systems
+        (indole, benzofuran, ...) converge regardless of ring order: a bond
+        already aromatized by a neighbouring ring counts as a pi contributor
+        for atoms of this ring.
+
+        Atoms that aromatize by donating a lone pair (pyrrole-type N/O/S,
+        the ``pi += 2`` branch) are flagged ``_lp_donor`` — implicit-H
+        assignment must NOT give them the aromatic +1 formal-double-bond
+        valence bump (a Kekule-written pyrrole N keeps its hydrogen,
+        matching RDKit's ``GetTotalNumHs() == 1``).
         """
-        for ring in self._rings:
-            if len(ring) not in (5, 6):
-                continue
-            if all(self.atoms[i].aromatic for i in ring):
-                self._mark_ring_aromatic(ring)
-                continue
-            pi = 0
-            ok = True
-            ring_set = set(ring)
-            for ai in ring:
-                a = self.atoms[ai]
-                if a.symbol not in ("C", "N", "O", "S", "c", "n", "o", "s"):
-                    ok = False
-                    break
-                has_double_in_ring = any(
-                    self.bonds[bi].order == 2 and self.bonds[bi].other(ai) in ring_set
-                    for bi in a._bond_idxs
-                )
-                has_exo_double = any(
-                    self.bonds[bi].order == 2 and self.bonds[bi].other(ai) not in ring_set
-                    for bi in a._bond_idxs
-                )
-                if has_double_in_ring:
-                    pi += 1
-                elif a.symbol in ("N", "O", "S") and not has_exo_double:
-                    pi += 2  # lone pair donated into the ring
-                elif has_exo_double:
-                    ok = False  # cross-conjugated (e.g. quinone) — not aromatic
-                    break
-                else:
-                    ok = False
-                    break
-            if ok and pi % 4 == 2:
-                self._mark_ring_aromatic(ring)
+        candidates = [r for r in self._rings if len(r) in (5, 6)]
+        done = [False] * len(candidates)
+        changed = True
+        while changed:
+            changed = False
+            for ri, ring in enumerate(candidates):
+                if done[ri]:
+                    continue
+                if all(self.atoms[i].aromatic for i in ring):
+                    self._mark_ring_aromatic(ring)
+                    done[ri] = True
+                    changed = True
+                    continue
+                pi = 0
+                ok = True
+                donors: List[int] = []
+                ring_set = set(ring)
+                for ai in ring:
+                    a = self.atoms[ai]
+                    if a.symbol not in ("C", "N", "O", "S"):
+                        ok = False
+                        break
+                    pi_in_ring = any(
+                        (self.bonds[bi].order == 2 or self.bonds[bi].aromatic)
+                        and self.bonds[bi].other(ai) in ring_set
+                        for bi in a._bond_idxs
+                    )
+                    has_exo_double = any(
+                        self.bonds[bi].order == 2 and self.bonds[bi].other(ai) not in ring_set
+                        for bi in a._bond_idxs
+                    )
+                    if pi_in_ring:
+                        pi += 1
+                    elif a.symbol in ("N", "O", "S") and not has_exo_double:
+                        pi += 2  # lone pair donated into the ring
+                        donors.append(ai)
+                    elif has_exo_double:
+                        ok = False  # cross-conjugated (e.g. quinone) — not aromatic
+                        break
+                    else:
+                        ok = False
+                        break
+                if ok and pi % 4 == 2:
+                    for ai in donors:
+                        self.atoms[ai]._lp_donor = True
+                    self._mark_ring_aromatic(ring)
+                    done[ri] = True
+                    changed = True
 
     def _mark_ring_aromatic(self, ring: List[int]) -> None:
         ring_set = set(ring)
@@ -445,12 +498,12 @@ class Mol:
                 else:
                     order_sum += b.order
             total = int(round(order_sum))
-            if a.aromatic and total + 1 <= valences[0]:
+            if a.aromatic and not a._lp_donor and total + 1 <= valences[0]:
                 # Daylight rule of thumb: an aromatic atom participates in
                 # one formal double bond within the ring system — but only
-                # when that fits its lowest normal valence (pyrrole-type N
-                # with three connections and carbonyl-bearing aromatic C
-                # donate a lone pair / exocyclic bond instead).
+                # when that fits its lowest normal valence, and only when
+                # the atom was NOT aromatized by donating a lone pair
+                # (pyrrole-type N keeps its H: RDKit GetTotalNumHs() == 1).
                 total += 1
             for v in valences:
                 if total <= v:
@@ -460,23 +513,41 @@ class Mol:
                 a.implicit_hs = 0
 
     def _assign_hybridization(self) -> None:
+        """Steric-number model (RDKit ``MolOps::setHybridization``):
+
+            orbitals = sigma bonds (heavy degree + total Hs) + lone pairs
+            lone pairs = (outer-shell electrons - charge - bonded valence) / 2
+
+        where bonded valence counts bond orders (aromatic as 1.5) plus Hs.
+        Mapping: 2 -> SP, 3 -> SP2, 4 -> SP3, 5 -> SP3D, 6+ -> SP3D2.
+        This gets hypervalent S/P right where a multiple-bond-count rule
+        does not: sulfone/sulfonamide S and phosphate P are SP3 (4 sigma
+        bonds, 0 lone pairs), sulfoxide S is SP3 (3 sigma + 1 lone pair) —
+        matching RDKit on drug-like atoms.
+        """
         for a in self.atoms:
-            orders = [self.bonds[bi].order for bi in a._bond_idxs]
-            n_triple = sum(1 for o in orders if o == 3)
-            n_double = sum(1 for o in orders if o == 2)
-            heavy_plus_h = a._degree + a.GetTotalNumHs()
-            if a._degree == 0 and a.GetTotalNumHs() == 0:
+            total_hs = a.GetTotalNumHs()
+            if a._degree == 0 and total_hs == 0:
                 a.hybridization = S_HYB
-            elif heavy_plus_h >= 6:
-                a.hybridization = SP3D2
-            elif heavy_plus_h == 5:
-                a.hybridization = SP3D
-            elif n_triple >= 1 or n_double >= 2:
+                continue
+            order_sum = sum(self.bonds[bi].order for bi in a._bond_idxs)
+            bonded = int(order_sum + 0.5) + total_hs
+            outer = _OUTER_ELECS.get(a.symbol)
+            lone_pairs = 0 if outer is None else max(
+                0, (outer - a.charge - bonded) // 2)
+            steric = a._degree + total_hs + lone_pairs
+            if steric <= 1:
+                a.hybridization = S_HYB
+            elif steric == 2:
                 a.hybridization = SP
-            elif a.aromatic or n_double == 1:
+            elif steric == 3:
                 a.hybridization = SP2
-            else:
+            elif steric == 4:
                 a.hybridization = SP3
+            elif steric == 5:
+                a.hybridization = SP3D
+            else:
+                a.hybridization = SP3D2
 
 
 # ---------------------------------------------------------------------------

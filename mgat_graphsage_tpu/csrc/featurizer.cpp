@@ -82,6 +82,19 @@ const std::map<std::string, std::vector<int>> kValences = {
 const std::set<std::string> kOrganic = {"B", "C", "N", "O", "P",
                                         "S", "F", "Cl", "Br", "I"};
 
+// Outer-shell electron counts for the steric-number hybridization model
+// (mirrors _OUTER_ELECS in chem/smiles.py; transition metals absent
+// deliberately -> no lone-pair term).
+const std::map<std::string, int> kOuterElecs = {
+    {"H", 1},  {"He", 2}, {"Li", 1}, {"Be", 2}, {"B", 3},  {"C", 4},
+    {"N", 5},  {"O", 6},  {"F", 7},  {"Ne", 8}, {"Na", 1}, {"Mg", 2},
+    {"Al", 3}, {"Si", 4}, {"P", 5},  {"S", 6},  {"Cl", 7}, {"Ar", 8},
+    {"K", 1},  {"Ca", 2}, {"Ga", 3}, {"Ge", 4}, {"As", 5}, {"Se", 6},
+    {"Br", 7}, {"Kr", 8}, {"Rb", 1}, {"Sr", 2}, {"In", 3}, {"Sn", 4},
+    {"Sb", 5}, {"Te", 6}, {"I", 7},  {"Xe", 8}, {"Cs", 1}, {"Ba", 2},
+    {"Tl", 3}, {"Pb", 4}, {"Bi", 5},
+};
+
 enum Hyb { HYB_UNSPEC = 0, HYB_S, HYB_SP, HYB_SP2, HYB_SP3,
            HYB_SP3D, HYB_SP3D2 };
 
@@ -95,6 +108,7 @@ struct Atom {
   // perception
   int implicit_hs = 0;
   bool in_ring = false;
+  bool lp_donor = false;  // aromatized by donating a lone pair
   Hyb hyb = HYB_UNSPEC;
   std::vector<int> neighbors;
   std::vector<int> bond_idxs;
@@ -406,10 +420,11 @@ std::vector<std::vector<int>> find_rings(Mol& m) {
       if (m.bonds[bi].in_ring) { a.in_ring = true; break; }
   }
 
-  // small-ring enumeration: shortest cycle through each ring bond (<= 8)
+  // ring enumeration: shortest cycle through each ring bond (<= 24,
+  // matching Mol.MAX_RING in chem/smiles.py — covers common macrocycles)
   std::vector<std::vector<int>> rings;
   std::set<std::set<int>> seen;
-  const int MAX_RING = 8;
+  const int MAX_RING = 24;
   for (size_t bi = 0; bi < m.bonds.size(); ++bi) {
     auto& b = m.bonds[bi];
     if (!b.in_ring) continue;
@@ -460,34 +475,56 @@ void mark_ring_aromatic(Mol& m, const std::vector<int>& ring) {
     }
 }
 
+// Hückel 4n+2 on 5/6-rings, iterated to a fixpoint so fused Kekule
+// systems (indole, benzofuran) converge regardless of ring order: a bond
+// already aromatized by a neighbouring ring counts as a pi contributor.
+// Lone-pair donors (pyrrole-type N/O/S) are flagged so implicit-H
+// assignment skips their aromatic valence bump (mirrors chem/smiles.py).
 void aromatize(Mol& m, const std::vector<std::vector<int>>& rings) {
-  for (auto& ring : rings) {
-    if (ring.size() != 5 && ring.size() != 6) continue;
-    bool all_arom = true;
-    for (int ai : ring) all_arom = all_arom && m.atoms[ai].aromatic;
-    if (all_arom) { mark_ring_aromatic(m, ring); continue; }
-    std::set<int> rs(ring.begin(), ring.end());
-    int pi = 0;
-    bool ok = true;
-    for (int ai : ring) {
-      auto& a = m.atoms[ai];
-      if (a.symbol != "C" && a.symbol != "N" && a.symbol != "O" &&
-          a.symbol != "S") { ok = false; break; }
-      bool dbl_in = false, dbl_exo = false;
-      for (int bi : a.bond_idxs) {
-        auto& b = m.bonds[bi];
-        if (b.order == 2.0) {
-          if (rs.count(b.other(ai))) dbl_in = true;
-          else dbl_exo = true;
-        }
+  std::vector<char> done(rings.size(), 0);
+  bool changed = true;
+  while (changed) {
+    changed = false;
+    for (size_t ri = 0; ri < rings.size(); ++ri) {
+      const auto& ring = rings[ri];
+      if (done[ri]) continue;
+      if (ring.size() != 5 && ring.size() != 6) { done[ri] = 1; continue; }
+      bool all_arom = true;
+      for (int ai : ring) all_arom = all_arom && m.atoms[ai].aromatic;
+      if (all_arom) {
+        mark_ring_aromatic(m, ring);
+        done[ri] = 1;
+        changed = true;
+        continue;
       }
-      if (dbl_in) pi += 1;
-      else if ((a.symbol == "N" || a.symbol == "O" || a.symbol == "S") &&
-               !dbl_exo) pi += 2;
-      else if (dbl_exo) { ok = false; break; }
-      else { ok = false; break; }
+      std::set<int> rs(ring.begin(), ring.end());
+      int pi = 0;
+      bool ok = true;
+      std::vector<int> donors;
+      for (int ai : ring) {
+        auto& a = m.atoms[ai];
+        if (a.symbol != "C" && a.symbol != "N" && a.symbol != "O" &&
+            a.symbol != "S") { ok = false; break; }
+        bool pi_in = false, dbl_exo = false;
+        for (int bi : a.bond_idxs) {
+          auto& b = m.bonds[bi];
+          bool in_this_ring = rs.count(b.other(ai)) != 0;
+          if ((b.order == 2.0 || b.aromatic) && in_this_ring) pi_in = true;
+          if (b.order == 2.0 && !in_this_ring) dbl_exo = true;
+        }
+        if (pi_in) pi += 1;
+        else if ((a.symbol == "N" || a.symbol == "O" || a.symbol == "S") &&
+                 !dbl_exo) { pi += 2; donors.push_back(ai); }
+        else if (dbl_exo) { ok = false; break; }
+        else { ok = false; break; }
+      }
+      if (ok && pi % 4 == 2) {
+        for (int ai : donors) m.atoms[ai].lp_donor = true;
+        mark_ring_aromatic(m, ring);
+        done[ri] = 1;
+        changed = true;
+      }
     }
-    if (ok && pi % 4 == 2) mark_ring_aromatic(m, ring);
   }
 }
 
@@ -502,27 +539,40 @@ void assign_implicit_hs(Mol& m) {
       order_sum += b.aromatic ? 1.0 : b.order;
     }
     int total = (int)(order_sum + 0.5);
-    if (a.aromatic && total + 1 <= it->second[0]) total += 1;
+    // aromatic +1 formal-double-bond bump, except for lone-pair donors
+    // (pyrrole-type N keeps its H; mirrors chem/smiles.py)
+    if (a.aromatic && !a.lp_donor && total + 1 <= it->second[0]) total += 1;
     a.implicit_hs = 0;
     for (int v : it->second)
       if (total <= v) { a.implicit_hs = v - total; break; }
   }
 }
 
+// Steric-number model (mirrors Mol._assign_hybridization in
+// chem/smiles.py): orbitals = sigma bonds (degree + Hs) + lone pairs,
+// lone pairs = (outer electrons - charge - bonded valence) / 2.
 void assign_hybridization(Mol& m) {
   for (auto& a : m.atoms) {
-    int n_triple = 0, n_double = 0;
-    for (int bi : a.bond_idxs) {
-      if (m.bonds[bi].order == 3.0) n_triple++;
-      if (m.bonds[bi].order == 2.0) n_double++;
+    int ths = a.total_hs();
+    if (a.degree() == 0 && ths == 0) { a.hyb = HYB_S; continue; }
+    double order_sum = 0.0;
+    for (int bi : a.bond_idxs) order_sum += m.bonds[bi].order;
+    int bonded = (int)(order_sum + 0.5) + ths;
+    auto it = kOuterElecs.find(a.symbol);
+    int lone_pairs = 0;
+    if (it != kOuterElecs.end()) {
+      // C++ division truncates toward zero; match Python floor-division
+      // by clamping the numerator at 0 first (result is never negative).
+      int num = it->second - a.charge - bonded;
+      lone_pairs = num > 0 ? num / 2 : 0;
     }
-    int heavy_h = a.degree() + a.total_hs();
-    if (a.degree() == 0 && a.total_hs() == 0) a.hyb = HYB_S;
-    else if (heavy_h >= 6) a.hyb = HYB_SP3D2;
-    else if (heavy_h == 5) a.hyb = HYB_SP3D;
-    else if (n_triple >= 1 || n_double >= 2) a.hyb = HYB_SP;
-    else if (a.aromatic || n_double == 1) a.hyb = HYB_SP2;
-    else a.hyb = HYB_SP3;
+    int steric = a.degree() + ths + lone_pairs;
+    if (steric <= 1) a.hyb = HYB_S;
+    else if (steric == 2) a.hyb = HYB_SP;
+    else if (steric == 3) a.hyb = HYB_SP2;
+    else if (steric == 4) a.hyb = HYB_SP3;
+    else if (steric == 5) a.hyb = HYB_SP3D;
+    else a.hyb = HYB_SP3D2;
   }
 }
 

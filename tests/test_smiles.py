@@ -209,3 +209,78 @@ def test_nitro_group_and_amide():
     m = parse_smiles("CC(=O)N")  # acetamide
     n = [a for a in m.GetAtoms() if a.GetSymbol() == "N"][0]
     assert n.GetTotalNumHs() == 2
+
+
+# --- round-2 regressions: advisor findings on hybridization / implicit H ---
+
+def test_hybridization_hypervalent_s_p():
+    """Steric-number model: hypervalent S/P are SP3 like RDKit reports
+    (sigma bonds + lone pairs = 4 orbitals), not SP/SP2 as a naive
+    multiple-bond-count rule yields (ADVICE.md round 1, smiles.py:474)."""
+    s = parse_smiles("CS(=O)(=O)N").GetAtomWithIdx(1)   # sulfonamide S
+    assert s.GetHybridization() == "SP3"
+    s = parse_smiles("CS(C)=O").GetAtomWithIdx(1)       # sulfoxide S
+    assert s.GetHybridization() == "SP3"
+    p = parse_smiles("OP(=O)(O)O").GetAtomWithIdx(1)    # phosphate P
+    assert p.GetHybridization() == "SP3"
+    s = parse_smiles("CS(=O)(=O)C").GetAtomWithIdx(1)   # sulfone S
+    assert s.GetHybridization() == "SP3"
+
+
+def test_hybridization_steric_basics():
+    mol = parse_smiles("CC#N")
+    assert mol.GetAtomWithIdx(1).GetHybridization() == "SP"
+    assert mol.GetAtomWithIdx(2).GetHybridization() == "SP"  # nitrile N: 1 LP
+    mol = parse_smiles("C=C")
+    assert mol.GetAtomWithIdx(0).GetHybridization() == "SP2"
+    assert parse_smiles("COC").GetAtomWithIdx(1).GetHybridization() == "SP3"
+    assert parse_smiles("CC=O").GetAtomWithIdx(2).GetHybridization() == "SP2"
+    assert parse_smiles("C[NH3+]").GetAtomWithIdx(1).GetHybridization() == "SP3"
+    # isolated / degree-0 atoms
+    assert parse_smiles("[Na+]").GetAtomWithIdx(0).GetHybridization() == "S"
+
+
+def test_kekule_pyrrole_nitrogen_keeps_hydrogen():
+    """Lone-pair donors skip the aromatic valence bump (ADVICE.md round 1,
+    smiles.py:448): Kekule-written pyrrole-type N has GetTotalNumHs() == 1,
+    matching RDKit; pyridine-type N stays at 0."""
+    for smi, n_idx in [("C1=CC=CN1", 4), ("C1=CNC=C1", 2)]:
+        n = parse_smiles(smi).GetAtomWithIdx(n_idx)
+        assert n.GetIsAromatic()
+        assert n.GetTotalNumHs() == 1, smi
+    # imidazole: one donor N-H, one pyridine-type N
+    mol = parse_smiles("C1=CN=CN1")
+    assert mol.GetAtomWithIdx(4).GetTotalNumHs() == 1
+    assert mol.GetAtomWithIdx(2).GetTotalNumHs() == 0
+    # lowercase forms agree
+    low = parse_smiles("c1cc[nH]c1")
+    assert low.GetAtomWithIdx(3).GetTotalNumHs() == 1
+
+
+def test_fused_kekule_aromatization_fixpoint():
+    """Indole written in Kekule form: the pyrrole ring aromatizes even when
+    the benzene ring is processed first (aromatic fused bonds count as pi
+    contributors; iterated to fixpoint)."""
+    mol = parse_smiles("C1=CC2=C(C=C1)C=CN2")
+    assert all(a.GetIsAromatic() for a in mol.GetAtoms())
+    n = [a for a in mol.GetAtoms() if a.GetSymbol() == "N"][0]
+    assert n.GetTotalNumHs() == 1
+    assert n.GetHybridization() == "SP2"
+    # benzofuran
+    mol = parse_smiles("C1=CC2=C(C=C1)C=CO2")
+    assert all(a.GetIsAromatic() for a in mol.GetAtoms())
+
+
+def test_macrocycle_ring_sizes():
+    """MAX_RING raised 8 -> 24 (VERDICT round 1 weak #6): macrocycle ring
+    sizes are perceived; in_ring stays exact either way."""
+    mol = parse_smiles("C1CCCCCCCCCCC1")  # cyclododecane
+    for a in mol.GetAtoms():
+        assert a.IsInRing()
+        assert a.ring_sizes == (12,)
+    mol = parse_smiles("C1" + "C" * 13 + "1")  # 14-ring (erythromycin-size)
+    assert mol.GetAtomWithIdx(0).ring_sizes == (14,)
+    # beyond the bound: membership exact, sizes empty (documented behavior)
+    mol = parse_smiles("C1" + "C" * 29 + "1")  # 30-ring
+    assert mol.GetAtomWithIdx(0).IsInRing()
+    assert mol.GetAtomWithIdx(0).ring_sizes == ()
