@@ -99,8 +99,13 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 def load_csv(path: str, smiles_column: str = "Smiles",
              target_column: str = "pchembl") -> Tuple[List[str], np.ndarray]:
-    """Minimal CSV reader for the reference schema (no pandas needed on the
-    hot path; quotes not required by the schema)."""
+    """CSV reader for the reference ``Smiles,pchembl`` schema
+    (``train.py:163-168``); no pandas needed on the hot path.
+
+    Uses stdlib ``csv``, so RFC-4180 quoting in real ChEMBL exports —
+    quoted fields containing commas, embedded quotes, even newlines —
+    parses correctly (tests/test_data.py::test_load_csv_quoted_fields).
+    Extra columns are ignored; column order is free."""
     import csv
 
     smiles, targets = [], []
@@ -134,16 +139,17 @@ class MolecularDataset:
         use_native: bool = True,
     ):
         targets = np.asarray(targets, dtype=np.float32).reshape(-1)
-        graphs = fps = kept_targets = kept_smiles = None
+        graphs = fps = kept_targets = kept_smiles = kept_indices = None
         if use_native:
             native = self._featurize_native(
                 smiles, targets, fingerprint, featurizer, verbose)
             if native is not None:
-                graphs, fps, kept_targets, kept_smiles = native
+                graphs, fps, kept_targets, kept_smiles, kept_indices = native
         if graphs is None:
             graphs, fps, kept_targets, kept_smiles = [], [], [], []
+            kept_indices = []
             fp_fn = FINGERPRINTS[fingerprint] if fingerprint else None
-            for smi, y in zip(smiles, targets):
+            for i, (smi, y) in enumerate(zip(smiles, targets)):
                 try:
                     feats, edge_index = smiles_to_graph(
                         str(smi), featurizer=featurizer)
@@ -156,6 +162,7 @@ class MolecularDataset:
                 fps.append(fp)
                 kept_targets.append(y)
                 kept_smiles.append(str(smi))
+                kept_indices.append(i)
 
         if not graphs:
             raise ValueError("No valid molecules in dataset")
@@ -176,10 +183,14 @@ class MolecularDataset:
                 fps = [fps[i] for i in keep]
                 kept_targets = [kept_targets[i] for i in keep]
                 kept_smiles = [kept_smiles[i] for i in keep]
+                kept_indices = [kept_indices[i] for i in keep]
             if not graphs:
                 raise ValueError("No molecules fit the shape budget")
 
         self.smiles = kept_smiles
+        # original input-row index of every kept molecule (invalid SMILES /
+        # over-budget rows are skipped), so callers can re-align outputs
+        self.kept_indices = np.asarray(kept_indices, dtype=np.int64)
         self.y_orig = np.asarray(kept_targets, dtype=np.float32)
         if scaler is None:
             scaler = StandardScaler()
@@ -239,6 +250,7 @@ class MolecularDataset:
             return None
         nodes, edges, node_mask, edge_mask, fp, status = res
         graphs, fps, kept_targets, kept_smiles = [], [], [], []
+        kept_indices = []
         for i, smi in enumerate(smiles):
             if status[i] <= 0:
                 if verbose:
@@ -253,7 +265,8 @@ class MolecularDataset:
             fps.append(fp[i].copy() if fp is not None else None)
             kept_targets.append(targets[i])
             kept_smiles.append(str(smi))
-        return graphs, fps, kept_targets, kept_smiles
+            kept_indices.append(i)
+        return graphs, fps, kept_targets, kept_smiles, kept_indices
 
     def __len__(self) -> int:
         return self.n

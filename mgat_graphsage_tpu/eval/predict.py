@@ -105,30 +105,36 @@ def predict_dataset(model, state, cfg: TrainConfig,
     is_hybrid = cfg.is_hybrid
 
     @jax.jit
-    def scan_predict(params, batch_stats, perm, data):
-        def body(_, idx):
+    def scan_predict(params, batch_stats, perm, smask, data):
+        def body(_, inp):
+            idx, sm = inp
             nodes = data["nodes"][idx]
             adj = dense_adjacency(data["edges"][idx],
                                   data["edge_mask"][idx], nodes.shape[1])
+            # zero padded duplicate rows out of the node mask so they are
+            # inert in flat-mode cross-molecule attention (the reference's
+            # final batch is simply smaller)
+            node_mask = data["node_mask"][idx] * sm[:, None]
             variables = {"params": params, "batch_stats": batch_stats}
             if is_hybrid:
-                pred, _ = model.apply(variables, nodes, adj,
-                                      data["node_mask"][idx],
+                pred, _ = model.apply(variables, nodes, adj, node_mask,
                                       data["fp"][idx])
             else:
-                pred = model.apply(variables, nodes, adj,
-                                   data["node_mask"][idx])
+                pred = model.apply(variables, nodes, adj, node_mask)
             return None, pred.reshape(-1) * scale + mean
 
-        _, preds = jax.lax.scan(body, None, perm)
+        _, preds = jax.lax.scan(body, None, (perm, smask))
         return preds
 
     n = len(ds)
     n_batches = (n + batch_size - 1) // batch_size
     pad = n_batches * batch_size - n
     idx = np.arange(n)
+    smask = np.ones(n_batches * batch_size, np.float32)
     if pad:
         idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+        smask[-pad:] = 0.0
+    smask = smask.reshape(n_batches, batch_size)
     perm = idx.reshape(n_batches, batch_size).astype(np.int32)
     data = jax.block_until_ready({
         "nodes": jnp.asarray(ds.nodes), "edges": jnp.asarray(ds.edges),
@@ -136,9 +142,10 @@ def predict_dataset(model, state, cfg: TrainConfig,
         "edge_mask": jnp.asarray(ds.edge_mask),
         "fp": jnp.asarray(ds.fp),
     })
-    perm_dev = jax.block_until_ready(jnp.asarray(perm))
+    perm_dev, smask_dev = jax.block_until_ready(
+        (jnp.asarray(perm), jnp.asarray(smask)))
     preds = np.asarray(scan_predict(state.params, state.batch_stats,
-                                    perm_dev, data)).reshape(-1)
+                                    perm_dev, smask_dev, data)).reshape(-1)
     return preds[:n]
 
 
@@ -187,17 +194,30 @@ class Predictor:
             load_model_from_checkpoint(ckpt_path)
 
     def __call__(self, smiles, batch_size: int = 64) -> np.ndarray:
+        """Predict pChEMBL for each input SMILES.
+
+        The output is always index-aligned with the input list:
+        unparseable or over-shape-budget molecules get NaN rows instead
+        of being silently dropped (which would misalign every subsequent
+        prediction)."""
         if isinstance(smiles, str):
             smiles = [smiles]
-        ds = MolecularDataset(list(smiles),
-                              np.zeros(len(smiles), np.float32),
-                              scaler=self.scaler,
-                              fingerprint=self.cfg.fingerprint,
-                              featurizer=self.cfg.featurizer,
-                              max_nodes=self.max_nodes,
-                              max_edges=self.max_edges, verbose=False)
-        return predict_dataset(self.model, self.state, self.cfg,
-                               self.scaler, ds, batch_size)
+        smiles = list(smiles)
+        out = np.full(len(smiles), np.nan, dtype=np.float32)
+        try:
+            ds = MolecularDataset(smiles,
+                                  np.zeros(len(smiles), np.float32),
+                                  scaler=self.scaler,
+                                  fingerprint=self.cfg.fingerprint,
+                                  featurizer=self.cfg.featurizer,
+                                  max_nodes=self.max_nodes,
+                                  max_edges=self.max_edges, verbose=False)
+        except ValueError:
+            return out  # no valid molecules at all
+        preds = predict_dataset(self.model, self.state, self.cfg,
+                                self.scaler, ds, batch_size)
+        out[ds.kept_indices] = preds
+        return out
 
 
 def main():

@@ -209,6 +209,19 @@ def hybrid_analysis_strategy(
         "detailed_substructure_frequency":
             detailed["substructure_frequency"],
     }
+    # radius-2 fragment environments around important atoms (reference
+    # extract_important_substructures, gnnexplainer.py:171-197; carried
+    # into per-molecule records as num_local_fragments, :1053)
+    frag_counts: Dict[str, int] = {}
+    n_local_fragments = 0
+    for rec in detailed["per_molecule"]:
+        envs = rec.get("atom_environments", {})
+        n_local_fragments += len(envs)
+        for frag in envs.values():
+            frag_counts[frag] = frag_counts.get(frag, 0) + 1
+    results["fragment_environment_frequency"] = dict(
+        sorted(frag_counts.items(), key=lambda kv: -kv[1])[:40])
+    results["n_local_fragments"] = n_local_fragments
 
     figure_paths = []
     if make_figures:
@@ -298,6 +311,14 @@ def _write_report(path: str, results: Dict, info: Dict,
     for name, cnt in list(
             results["detailed_substructure_frequency"].items())[:15]:
         lines.append(f"  {name:<20} {cnt:>6}")
+    lines += [
+        "",
+        f"Radius-2 fragment environments around important atoms "
+        f"({results.get('n_local_fragments', 0)} total):",
+    ]
+    for frag, cnt in list(
+            results.get("fragment_environment_frequency", {}).items())[:15]:
+        lines.append(f"  {frag:<30} {cnt:>6}")
     lines += ["", "=" * 70]
     with open(path, "w") as f:
         f.write("\n".join(lines))

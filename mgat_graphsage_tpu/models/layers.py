@@ -221,7 +221,10 @@ class SAGEConv(nn.Module):
 
 class GCNConv(nn.Module):
     """Kipf-Welling GCN conv, PyG semantics (``gnn/gcn.py:46-48``):
-    symmetric normalization with self-loops, glorot weight, zero bias."""
+    symmetric normalization with self-loops, glorot weight, and a
+    zero-initialized bias added AFTER aggregation (PyG adds ``self.bias``
+    to the propagated output, not to the per-node linear map — the two
+    differ once the bias trains away from zero)."""
 
     features: int
     add_loops: bool = True
@@ -230,9 +233,11 @@ class GCNConv(nn.Module):
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
                  node_mask: jnp.ndarray) -> jnp.ndarray:
         norm_adj = gcn_norm_adjacency(adj, node_mask, add_loops=self.add_loops)
-        h = GlorotLinear(self.features, bias_init="zeros", name="lin")(x)
-        return jnp.einsum("...ij,...jf->...if", norm_adj, h,
-                          preferred_element_type=jnp.float32)
+        h = GlorotLinear(self.features, use_bias=False, name="lin")(x)
+        out = jnp.einsum("...ij,...jf->...if", norm_adj, h,
+                         preferred_element_type=jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return out + bias
 
 
 class GATConv(nn.Module):

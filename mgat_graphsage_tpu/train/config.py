@@ -31,6 +31,10 @@ class TrainConfig:
     fingerprint: Optional[str] = "ecfp1024"
     featurizer: str = "35"         # "35" | "5"
     scale_targets: bool = True
+    # CNN fc1 width: 256 in every reference script (train.py:133,
+    # fingerprint/morgan=2048.py:125, maccs.py:125, ...) EXCEPT
+    # fingerprint/ecfp=2024.py:125 which widens it to 512
+    cnn_fc_hidden: int = 256
     # optimization (reference torch.optim.Adam semantics: L2-coupled wd)
     lr: float = 1e-3
     weight_decay: float = 1e-4
@@ -45,6 +49,10 @@ class TrainConfig:
     # fp32 accumulation (fast TPU default); "float32" = highest-precision
     # multi-pass, for strict numeric-parity runs
     matmul_precision: str = "bfloat16"
+    # Adam moment STORAGE dtype ("float32" | "bfloat16"): bf16 moments cut
+    # the HBM-bound optimizer pass ~1.6x (arithmetic stays f32; see
+    # train/optim.py).  Default float32 = exact torch-Adam trajectories.
+    adam_moment_dtype: str = "float32"
 
     @property
     def is_hybrid(self) -> bool:
@@ -107,7 +115,10 @@ PRESETS: Dict[str, TrainConfig] = {
     #     with the CNN branch's fingerprint swapped) ---
     "morgan1024": _p(name="morgan1024", fingerprint="morgan1024"),
     "morgan2048": _p(name="morgan2048", fingerprint="morgan2048"),
-    "ecfp2048": _p(name="ecfp2048", fingerprint="ecfp2048"),
+    # ecfp=2024.py:125 is the ONLY script with the 512-wide CNN fc1;
+    # morgan=2048.py:125 keeps 256 despite the same 2048-bit input
+    "ecfp2048": _p(name="ecfp2048", fingerprint="ecfp2048",
+                   cnn_fc_hidden=512),
     "fcfp": _p(name="fcfp", fingerprint="fcfp1024"),
     "maccs": _p(name="maccs", fingerprint="maccs"),
     "smifp": _p(name="smifp", fingerprint="smifp"),

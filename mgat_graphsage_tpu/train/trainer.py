@@ -71,7 +71,7 @@ def build_model(cfg: TrainConfig):
         fp_dim = FINGERPRINT_DIMS[cfg.fingerprint]
         return HybridModel(
             fp_dim=fp_dim,
-            cnn_fc_hidden=512 if fp_dim >= 2048 else 256,
+            cnn_fc_hidden=cfg.cnn_fc_hidden,
             attention=cfg.attention, residual=cfg.residual,
             flat_attention=cfg.flat_attention, dual_pool=cfg.dual_pool,
             graph_dropout=cfg.graph_dropout)
@@ -98,13 +98,13 @@ def build_model(cfg: TrainConfig):
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, weight_decay): L2 folded into the gradient
-    before the Adam moments (NOT decoupled AdamW)."""
-    chain = []
-    if cfg.weight_decay > 0:
-        chain.append(optax.add_decayed_weights(cfg.weight_decay))
-    chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
-    chain.append(optax.scale(-cfg.lr))
-    return optax.chain(*chain)
+    before the Adam moments (NOT decoupled AdamW).  Single-pass fused
+    implementation with configurable moment storage dtype
+    (see train/optim.py for the measured HBM analysis)."""
+    from .optim import torch_adam
+
+    return torch_adam(cfg.lr, weight_decay=cfg.weight_decay,
+                      moment_dtype=cfg.adam_moment_dtype)
 
 
 def _masked_mse(pred, target, sample_mask):
@@ -174,6 +174,24 @@ class Trainer:
         mean = jnp.float32(self.scaler.mean_)
         scale = jnp.float32(self.scaler.scale_)
 
+        # Data-parallel SPMD: batches gathered on device inside the epoch
+        # scan are constrained to the mesh's `data` axis, so XLA partitions
+        # the model compute per-device and inserts the gradient all-reduce.
+        # The fused whole-epoch scan therefore IS the multi-chip path (one
+        # dispatch per epoch on 1 or N chips) — no per-step host loop.
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            _batch_sharding = NamedSharding(self.mesh,
+                                            PartitionSpec("data"))
+
+            def constrain(batch):
+                return {
+                    k: jax.lax.with_sharding_constraint(v, _batch_sharding)
+                    for k, v in batch.items()}
+        else:
+            def constrain(batch):
+                return batch
+
         # 'float32' -> highest-precision MXU passes (parity runs);
         # 'bfloat16' -> single-pass bf16 multiplies with fp32 accumulate
         # (the fast TPU default).
@@ -187,6 +205,13 @@ class Trainer:
         def _forward_inner(params, batch_stats, batch, rng, train: bool):
             n = batch["nodes"].shape[1]
             adj = dense_adjacency(batch["edges"], batch["edge_mask"], n)
+            # exclude duplicate rows padding the final partial batch from
+            # every cross-sample computation (MaskedBatchNorm statistics,
+            # flat-mode cross-molecule attention): the reference's final
+            # batch is simply smaller, so padded rows must be inert.  All
+            # mask-aware ops return zeros (not NaN/-inf) on fully-masked
+            # graphs, so this is safe.
+            node_mask = batch["node_mask"] * batch["sample_mask"][:, None]
             variables = {"params": params, "batch_stats": batch_stats}
             kwargs = dict(deterministic=not train)
             mutable = ["batch_stats"] if train else False
@@ -194,12 +219,12 @@ class Trainer:
                 kwargs["rngs"] = {"dropout": rng}
             if is_hybrid:
                 out = model.apply(variables, batch["nodes"], adj,
-                                  batch["node_mask"], batch["fp"],
+                                  node_mask, batch["fp"],
                                   mutable=mutable, **kwargs)
                 (pred, latent), new_vars = out if train else (out, {})
             else:
                 out = model.apply(variables, batch["nodes"], adj,
-                                  batch["node_mask"], mutable=mutable,
+                                  node_mask, mutable=mutable,
                                   **kwargs)
                 pred, new_vars = out if train else (out, {})
                 latent = None
@@ -259,6 +284,7 @@ class Trainer:
                 batch["y"] = data["y"][idx]
                 batch["y_orig"] = data["y_orig"][idx]
                 batch["sample_mask"] = smask
+                batch = constrain(batch)
                 r, sub = jax.random.split(r)
                 st, metrics = train_step(st, batch, sub)
                 return (st, r), metrics["loss"]
@@ -276,6 +302,7 @@ class Trainer:
                 batch["y"] = data["y"][idx]
                 batch["y_orig"] = data["y_orig"][idx]
                 batch["sample_mask"] = smask
+                batch = constrain(batch)
                 pred, dn, mse, omse = eval_step(state, batch)
                 return None, (pred, dn, mse, omse)
 
@@ -297,21 +324,26 @@ class Trainer:
         return d
 
     def _device_dataset(self, ds: MolecularDataset) -> Dict[str, jnp.ndarray]:
-        """Upload a dataset's padded arrays to device once (cached)."""
+        """Upload a dataset's padded arrays to device once (cached).
+
+        Under a mesh the dataset is replicated (a few tens of MB at
+        reference scale); per-batch gathers inside the epoch scan are then
+        resharded onto the ``data`` axis by the sharding constraint."""
         cache = getattr(self, "_dev_cache", {})
         key = id(ds)
         if key not in cache:
+            host = {
+                "nodes": ds.nodes, "edges": ds.edges,
+                "node_mask": ds.node_mask, "edge_mask": ds.edge_mask,
+                "fp": ds.fp, "y": ds.y, "y_orig": ds.y_orig,
+            }
+            if self.mesh is not None:
+                dev = replicate(host, self.mesh)
+            else:
+                dev = {k: jnp.asarray(v) for k, v in host.items()}
             # block_until_ready: the axon relay can deadlock a later
             # readback when a program consumes unmaterialized transfers
-            cache[key] = jax.block_until_ready({
-                "nodes": jnp.asarray(ds.nodes),
-                "edges": jnp.asarray(ds.edges),
-                "node_mask": jnp.asarray(ds.node_mask),
-                "edge_mask": jnp.asarray(ds.edge_mask),
-                "fp": jnp.asarray(ds.fp),
-                "y": jnp.asarray(ds.y),
-                "y_orig": jnp.asarray(ds.y_orig),
-            })
+            cache[key] = jax.block_until_ready(dev)
             self._dev_cache = cache
         return cache[key]
 
@@ -337,30 +369,24 @@ class Trainer:
             self._build_steps()
         cfg = self.cfg
         t0 = time.perf_counter()
-        if self.mesh is None:
-            # fast path: whole epoch in one scan over the on-device dataset
-            data = self._device_dataset(self.train_ds)
-            host_rng = np.random.default_rng(cfg.seed + epoch)
-            perm, smask = self._epoch_indices(len(self.train_ds),
-                                              cfg.batch_size, host_rng)
-            inputs = jax.block_until_ready(
-                (jnp.asarray(perm), jnp.asarray(smask), rng))
-            state, mean_loss = self._train_epoch_scan(
-                state, inputs[0], inputs[1], inputs[2], data)
-            n_mol = len(self.train_ds)
-            total_loss = float(mean_loss)
-        else:
-            total, n_batches, n_mol = 0.0, 0, 0
-            for batch in self.train_ds.batches(cfg.batch_size,
-                                               shuffle=True,
-                                               seed=cfg.seed + epoch):
-                rng, sub = jax.random.split(rng)
-                state, metrics = self._train_step(
-                    state, self._to_device(batch), sub)
-                total += float(metrics["loss"])
-                n_batches += 1
-                n_mol += int(batch.sample_mask.sum())
-            total_loss = total / max(n_batches, 1)
+        # whole epoch in one scan over the on-device dataset — the same
+        # fused program is the single-chip AND the data-parallel path
+        # (sharding constraints inside the scan partition each batch over
+        # the mesh's `data` axis; see _build_steps)
+        if self.mesh is not None and cfg.batch_size % self.mesh.size:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by mesh size "
+                f"{self.mesh.size}")
+        data = self._device_dataset(self.train_ds)
+        host_rng = np.random.default_rng(cfg.seed + epoch)
+        perm, smask = self._epoch_indices(len(self.train_ds),
+                                          cfg.batch_size, host_rng)
+        inputs = jax.block_until_ready(
+            (jnp.asarray(perm), jnp.asarray(smask), rng))
+        state, mean_loss = self._train_epoch_scan(
+            state, inputs[0], inputs[1], inputs[2], data)
+        n_mol = len(self.train_ds)
+        total_loss = float(mean_loss)
         dt = time.perf_counter() - t0
         return state, {
             "train_loss": total_loss,
@@ -377,34 +403,22 @@ class Trainer:
             self._build_steps()
         ds = ds or self.val_ds
         cfg = self.cfg
-        if self.mesh is None:
-            data = self._device_dataset(ds)
-            perm, smask = self._epoch_indices(len(ds), cfg.eval_batch_size)
-            inputs = jax.block_until_ready(
-                (jnp.asarray(perm), jnp.asarray(smask)))
-            preds, denorms, mse, omse = self._eval_scan(
-                state, inputs[0], inputs[1], data)
-            keep = smask.reshape(-1) > 0
-            return {
-                "val_mse": float(mse),
-                "original_mse": float(omse),
-                "pred": np.asarray(preds).reshape(-1)[keep],
-                "pred_denorm": np.asarray(denorms).reshape(-1)[keep],
-            }
-        mses, orig_mses = [], []
-        preds, denorms = [], []
-        for batch in ds.batches(cfg.eval_batch_size):
-            p, dn, mse, omse = self._eval_step(state, self._to_device(batch))
-            keep = batch.sample_mask > 0
-            preds.append(np.asarray(p)[keep])
-            denorms.append(np.asarray(dn)[keep])
-            mses.append(float(mse))
-            orig_mses.append(float(omse))
+        if self.mesh is not None and cfg.eval_batch_size % self.mesh.size:
+            raise ValueError(
+                f"eval_batch_size {cfg.eval_batch_size} not divisible by "
+                f"mesh size {self.mesh.size}")
+        data = self._device_dataset(ds)
+        perm, smask = self._epoch_indices(len(ds), cfg.eval_batch_size)
+        inputs = jax.block_until_ready(
+            (jnp.asarray(perm), jnp.asarray(smask)))
+        preds, denorms, mse, omse = self._eval_scan(
+            state, inputs[0], inputs[1], data)
+        keep = smask.reshape(-1) > 0
         return {
-            "val_mse": float(np.mean(mses)),
-            "original_mse": float(np.mean(orig_mses)),
-            "pred": np.concatenate(preds),
-            "pred_denorm": np.concatenate(denorms),
+            "val_mse": float(mse),
+            "original_mse": float(omse),
+            "pred": np.asarray(preds).reshape(-1)[keep],
+            "pred_denorm": np.asarray(denorms).reshape(-1)[keep],
         }
 
     # ------------------------------------------------------------------
@@ -479,6 +493,12 @@ class Trainer:
                 if row.get("new_best"):
                     msg += "  *** new best ***"
                 print(msg)
+        if self.val_ds is None:
+            # without validation there is no best-by-val-MSE selection;
+            # the initial `best_state = state` alias would hold buffers
+            # DELETED by the first donating train step, so return the
+            # final state instead
+            best_state = state
         if save_best and ckpt_path and best_row:
             self.save(ckpt_path, best_state, best_row)
         self.best_metric = best_metric

@@ -114,8 +114,10 @@ def test_gcnconv_symmetric_normalization():
     variables = conv.init(jax.random.PRNGKey(0), x, adj, mask)
     p = jax.tree_util.tree_map(np.array, variables["params"])
     p["lin"]["kernel"] = np.eye(3, dtype=np.float32)
-    p["lin"]["bias"] = np.zeros(3, np.float32)
-    out = np.asarray(conv.apply({"params": p}, x, adj, mask)[0])
+    # PyG adds bias AFTER aggregation; give it a nonzero value so the
+    # placement is actually exercised
+    p["bias"] = np.full(3, 0.25, np.float32)
+    out = np.asarray(conv.apply({"params": p}, x, adj, mask)[0]) - 0.25
     A = np.asarray(adj[0]) + np.eye(3)
     dinv = np.diag(1 / np.sqrt(A.sum(1)))
     expect = dinv @ A @ dinv @ np.asarray(x[0])

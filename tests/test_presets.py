@@ -67,3 +67,41 @@ def test_preset_hyperparameters_match_reference():
 
     assert get_config("ecfp2048").fingerprint == "ecfp2048"
     assert get_config("maccs").fingerprint == "maccs"
+
+
+# (preset, fp_dim, cnn fc1 width) pinned against the reference scripts:
+# every CNNNet keeps fc1 = Linear(128*nbits, 256) — train.py:133,
+# fingerprint/morgan=1024.py:125, morgan=2048.py:125, fcfp.py:125,
+# maccs.py:125, SMIFP.py:157, BCI.py:220 — EXCEPT ecfp=2024.py:125 (512).
+FP_CNN_TABLE = [
+    ("flagship", 1024, 256),
+    ("morgan1024", 1024, 256),
+    ("morgan2048", 2048, 256),   # NOT widened, unlike ecfp2048
+    ("ecfp2048", 2048, 512),
+    ("fcfp", 1024, 256),
+    ("maccs", 167, 256),
+    ("smifp", 1024, 256),
+    ("bci", 1024, 256),
+]
+
+
+@pytest.mark.parametrize("name,fp_dim,fc_hidden", FP_CNN_TABLE)
+def test_fingerprint_cnn_fc1_widths_match_reference(name, fp_dim,
+                                                    fc_hidden):
+    """The morgan2048 preset must NOT share ecfp2048's 512-wide fc1 —
+    they are distinct reference experiments (VERDICT r1 #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgat_graphsage_tpu.chem.fingerprints import FINGERPRINT_DIMS
+    from mgat_graphsage_tpu.train.trainer import build_model
+
+    cfg = get_config(name)
+    assert FINGERPRINT_DIMS[cfg.fingerprint] == fp_dim
+    assert cfg.cnn_fc_hidden == fc_hidden
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, 35)), jnp.zeros((1, 4, 4)),
+                           jnp.ones((1, 4)), jnp.zeros((1, fp_dim)))
+    fc1_kernel = variables["params"]["cnn"]["fc1"]["kernel"]
+    assert fc1_kernel.shape == (128 * fp_dim, fc_hidden), name

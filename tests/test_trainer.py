@@ -126,6 +126,130 @@ def test_predictor_api(tmp_path, small_data):
     np.testing.assert_allclose(one[0], preds[0], atol=1e-5)
 
 
+def test_predictor_nan_aligns_invalid_smiles(tmp_path, small_data):
+    """ADVICE r1: dropped (unparseable) molecules must yield NaN rows,
+    not silently shift every later prediction up one index."""
+    from mgat_graphsage_tpu.eval.predict import Predictor
+
+    train, val = small_data
+    cfg = get_config("graphsage", epochs=1, batch_size=32)
+    trainer = Trainer(cfg, train, val, ckpt_dir=str(tmp_path))
+    trainer.fit(verbose=False)
+    p = Predictor(str(tmp_path / "best_model.msgpack"))
+    good = p(["CCO", "c1ccccc1O"])
+    mixed = p(["CCO", "not_a_smiles((", "c1ccccc1O"])
+    assert mixed.shape == (3,)
+    assert np.isnan(mixed[1])
+    np.testing.assert_allclose(mixed[[0, 2]], good, atol=1e-5)
+    # all-invalid input -> all-NaN, same length
+    assert np.isnan(p(["(((", ")))"])).all()
+
+
+def test_fit_without_val_ds_returns_usable_state(small_data):
+    """ADVICE r1: with val_ds=None the returned best_state used to alias
+    the donated (deleted) initial state; it must be the final state."""
+    train, _ = small_data
+    cfg = get_config("graphsage", epochs=2, batch_size=32)
+    trainer = Trainer(cfg, train, val_ds=None)
+    state, best_state, history = trainer.fit(verbose=False)
+    # touching the buffers raises if they were donated away
+    leaves = [np.asarray(x) for x in
+              __import__("jax").tree_util.tree_leaves(best_state.params)]
+    assert all(np.isfinite(l).all() for l in leaves)
+    assert len(history) == 2
+
+
+def test_padded_rows_do_not_contaminate_batchnorm_stats(small_data):
+    """ADVICE r1: GIN's MaskedBatchNorm statistics must exclude the
+    duplicate index-0 rows padding the final partial batch.  One train
+    step on 8 real molecules must produce the SAME batch statistics as
+    one step on those 8 plus 8 masked duplicate rows."""
+    import jax
+    import jax.numpy as jnp
+
+    train, _ = small_data
+    cfg = get_config("gin", epochs=1, batch_size=8)
+
+    def make_batch(n_pad):
+        sel = np.concatenate([np.arange(8), np.zeros(n_pad, np.int64)])
+        return {
+            "nodes": jnp.asarray(train.nodes[sel]),
+            "edges": jnp.asarray(train.edges[sel]),
+            "node_mask": jnp.asarray(train.node_mask[sel]),
+            "edge_mask": jnp.asarray(train.edge_mask[sel]),
+            "fp": jnp.asarray(train.fp[sel]),
+            "y": jnp.asarray(train.y[sel]),
+            "y_orig": jnp.asarray(train.y_orig[sel]),
+            "sample_mask": jnp.asarray(
+                np.concatenate([np.ones(8, np.float32),
+                                np.zeros(n_pad, np.float32)])),
+        }
+
+    def stats_after_one_step(batch):
+        t = Trainer(cfg, train, None)
+        state = t.init_state()
+        t._build_steps()
+        new_state, _ = t._train_step(state, batch, jax.random.PRNGKey(0))
+        return jax.device_get(new_state.batch_stats)
+
+    clean = stats_after_one_step(make_batch(0))
+    padded = stats_after_one_step(make_batch(8))
+    for a, b in zip(jax.tree_util.tree_leaves(clean),
+                    jax.tree_util.tree_leaves(padded)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_adam_matches_optax_chain():
+    """train/optim.py::torch_adam must reproduce the optax
+    chain(add_decayed_weights, scale_by_adam, scale) trajectory exactly
+    in float32 (it replaces that chain on the hot path)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mgat_graphsage_tpu.train.optim import torch_adam
+
+    lr, wd = 1e-3, 1e-4
+    params = {"a": jnp.linspace(-1, 1, 64).reshape(8, 8),
+              "b": jnp.ones(5) * 0.3}
+    ref_tx = optax.chain(optax.add_decayed_weights(wd),
+                         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                         optax.scale(-lr))
+    new_tx = torch_adam(lr, weight_decay=wd)
+
+    def run(tx):
+        p = jax.tree_util.tree_map(jnp.array, params)
+        s = tx.init(p)
+        key = jax.random.PRNGKey(0)
+        for i in range(25):
+            key, sub = jax.random.split(key)
+            g = jax.tree_util.tree_map(
+                lambda x: jax.random.normal(sub, x.shape) * 0.1, p)
+            u, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        return p
+
+    p1, p2 = run(ref_tx), run(new_tx)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_bf16_moment_adam_tracks_f32(small_data):
+    """adam_moment_dtype='bfloat16' (the fast TPU option) must track the
+    f32 trajectory closely over a short run — storage-only quantization
+    of smooth EMAs, not a different optimizer."""
+    train, val = small_data
+    cfg = get_config("graphsage", epochs=4, batch_size=32)
+    h32 = Trainer(cfg, train, val).fit(verbose=False)[2]
+    hbf = Trainer(cfg.replace(adam_moment_dtype="bfloat16"),
+                  train, val).fit(verbose=False)[2]
+    for a, b in zip(h32, hbf):
+        assert b["train_loss"] == pytest.approx(a["train_loss"], rel=2e-2)
+        assert b["val_mse"] == pytest.approx(a["val_mse"], rel=5e-2)
+
+
 def test_resume_training(tmp_path, small_data):
     train, val = small_data
     cfg = get_config("graphsage", epochs=2, batch_size=32)
