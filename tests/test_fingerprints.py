@@ -98,7 +98,7 @@ def test_descriptors_aspirin():
     mol = parse_smiles(ASPIRIN)
     assert D.mol_weight(mol) == pytest.approx(180.159, abs=0.5)
     assert D.num_h_donors(mol) == 1
-    assert D.num_h_acceptors(mol) == 4
+    assert D.num_h_acceptors(mol) == 3  # RDKit Lipinski: acid OH excluded
     assert D.heavy_atom_count(mol) == 13
     assert D.ring_count(mol) == 1
     assert D.num_aromatic_rings(mol) == 1
