@@ -69,6 +69,9 @@ def _p(**kw) -> TrainConfig:
 PRESETS: Dict[str, TrainConfig] = {
     # --- flagship hybrid (reference train.py; == ablation model 6) ---
     "flagship": _p(name="flagship"),
+    # reference-numerics mode: batch-global attention crossing molecule
+    # boundaries (SURVEY §2.6 quirk; train.py:96-98)
+    "flagship_flat": _p(name="flagship_flat", flat_attention=True),
     "model6": _p(name="model6"),
     # --- ablation ladder (reference ablation/model*.py) ---
     "model1": _p(name="model1", model="gat_graphsage", attention="gat10",
