@@ -94,6 +94,19 @@ def _run_workers(nproc: int, port: int):
     return results
 
 
+def test_host_row_slice_partitions_exactly():
+    from mgat_graphsage_tpu.parallel import host_row_slice
+
+    for n, pc in [(961, 4), (10, 3), (7, 8), (3000, 2)]:
+        slices = [host_row_slice(n, pi, pc) for pi in range(pc)]
+        covered = []
+        for start, stop in slices:
+            covered.extend(range(start, stop))
+        assert covered == list(range(n)), (n, pc, slices)
+        sizes = [b - a for a, b in slices]
+        assert max(sizes) - min(sizes) <= 1
+
+
 def test_two_process_distributed_training():
     results = _run_workers(nproc=2, port=23457)
     assert set(results) == {0, 1}

@@ -199,6 +199,63 @@ def test_padded_rows_do_not_contaminate_batchnorm_stats(small_data):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
+def test_predict_flat_mode_invariant_to_final_batch_padding(small_fp_data):
+    """predict_dataset pads the final partial batch with duplicate rows;
+    in flat-attention mode those rows must be masked out of the
+    cross-molecule attention or predictions depend on the batch split."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgat_graphsage_tpu.eval.predict import predict_dataset
+    from mgat_graphsage_tpu.ops import dense_adjacency
+    from mgat_graphsage_tpu.train.trainer import TrainState, build_model
+
+    train, val = small_fp_data
+    cfg = get_config("flagship_flat")
+    assert cfg.flat_attention
+    model = build_model(cfg)
+    n = val.max_nodes
+    variables = jax.jit(model.init)(
+        __import__("jax").random.PRNGKey(0),
+        jnp.asarray(val.nodes[:4]),
+        dense_adjacency(jnp.asarray(val.edges[:4]),
+                        jnp.asarray(val.edge_mask[:4]), n),
+        jnp.asarray(val.node_mask[:4]), jnp.asarray(val.fp[:4]))
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"], batch_stats={},
+                       opt_state=None)
+    # 30 molecules: bs=10 (exact) vs bs=8 (30 = 3*8 + 6 + 2 dups)
+    sub = type(val).__new__(type(val))
+    sub.__dict__ = dict(val.__dict__)
+    for f in ("nodes", "edges", "node_mask", "edge_mask", "fp", "y",
+              "y_orig"):
+        setattr(sub, f, getattr(val, f)[:30])
+    sub.smiles = val.smiles[:30]
+    sub.n = 30
+    p_exact = predict_dataset(model, state, cfg, val.scaler, sub,
+                              batch_size=10)
+    p_padded = predict_dataset(model, state, cfg, val.scaler, sub,
+                               batch_size=8)
+    # same molecules grouped differently STILL differ in flat mode (real
+    # neighbors change), but the dup-padded rows must not contribute:
+    # compare the padded run against an explicit 8-at-a-time run where
+    # the last batch holds only the 6 real molecules
+    p_manual = []
+    for s in range(0, 30, 8):
+        chunk = type(val).__new__(type(val))
+        chunk.__dict__ = dict(sub.__dict__)
+        for f in ("nodes", "edges", "node_mask", "edge_mask", "fp", "y",
+                  "y_orig"):
+            setattr(chunk, f, getattr(sub, f)[s:s + 8])
+        chunk.smiles = sub.smiles[s:s + 8]
+        chunk.n = len(chunk.smiles)
+        p_manual.append(predict_dataset(model, state, cfg, val.scaler,
+                                        chunk, batch_size=8))
+    np.testing.assert_allclose(p_padded, np.concatenate(p_manual),
+                               atol=1e-5)
+    assert p_exact.shape == p_padded.shape == (30,)
+
+
 def test_fused_adam_matches_optax_chain():
     """train/optim.py::torch_adam must reproduce the optax
     chain(add_decayed_weights, scale_by_adam, scale) trajectory exactly
