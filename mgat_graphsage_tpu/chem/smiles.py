@@ -447,18 +447,30 @@ class Mol:
                         and self.bonds[bi].other(ai) in ring_set
                         for bi in a._bond_idxs
                     )
-                    has_exo_double = any(
-                        self.bonds[bi].order == 2 and self.bonds[bi].other(ai) not in ring_set
-                        for bi in a._bond_idxs
-                    )
+                    exo_dbl_hetero = exo_dbl_carbon = False
+                    for bi in a._bond_idxs:
+                        b = self.bonds[bi]
+                        if b.order == 2 and b.other(ai) not in ring_set:
+                            if self.atoms[b.other(ai)].symbol in \
+                                    ("O", "S", "N"):
+                                exo_dbl_hetero = True
+                            else:
+                                exo_dbl_carbon = True
                     if pi_in_ring:
                         pi += 1
-                    elif a.symbol in ("N", "O", "S") and not has_exo_double:
+                    elif exo_dbl_hetero:
+                        # RDKit model: exocyclic double bond to a more
+                        # electronegative atom -> the ring atom stays in
+                        # the pi system contributing ZERO electrons
+                        # (2-pyridone aromatizes; quinone stays at 4
+                        # electrons and correctly fails Hueckel)
+                        pi += 0
+                    elif exo_dbl_carbon:
+                        ok = False  # fulvene-type cross-conjugation
+                        break
+                    elif a.symbol in ("N", "O", "S"):
                         pi += 2  # lone pair donated into the ring
                         donors.append(ai)
-                    elif has_exo_double:
-                        ok = False  # cross-conjugated (e.g. quinone) — not aromatic
-                        break
                     else:
                         ok = False
                         break

@@ -505,17 +505,27 @@ void aromatize(Mol& m, const std::vector<std::vector<int>>& rings) {
         auto& a = m.atoms[ai];
         if (a.symbol != "C" && a.symbol != "N" && a.symbol != "O" &&
             a.symbol != "S") { ok = false; break; }
-        bool pi_in = false, dbl_exo = false;
+        bool pi_in = false, exo_het = false, exo_c = false;
         for (int bi : a.bond_idxs) {
           auto& b = m.bonds[bi];
           bool in_this_ring = rs.count(b.other(ai)) != 0;
           if ((b.order == 2.0 || b.aromatic) && in_this_ring) pi_in = true;
-          if (b.order == 2.0 && !in_this_ring) dbl_exo = true;
+          if (b.order == 2.0 && !in_this_ring) {
+            const std::string& os = m.atoms[b.other(ai)].symbol;
+            if (os == "O" || os == "S" || os == "N") exo_het = true;
+            else exo_c = true;
+          }
         }
         if (pi_in) pi += 1;
-        else if ((a.symbol == "N" || a.symbol == "O" || a.symbol == "S") &&
-                 !dbl_exo) { pi += 2; donors.push_back(ai); }
-        else if (dbl_exo) { ok = false; break; }
+        // exocyclic double bond to a more electronegative atom: the ring
+        // atom stays in the pi system contributing ZERO electrons
+        // (2-pyridone aromatizes; quinone fails Hueckel at 4 electrons) —
+        // mirrors chem/smiles.py::_aromatize_kekule_rings
+        else if (exo_het) { /* pi += 0 */ }
+        else if (exo_c) { ok = false; break; }
+        else if (a.symbol == "N" || a.symbol == "O" || a.symbol == "S") {
+          pi += 2; donors.push_back(ai);
+        }
         else { ok = false; break; }
       }
       if (ok && pi % 4 == 2) {

@@ -271,6 +271,33 @@ def test_fused_kekule_aromatization_fixpoint():
     assert all(a.GetIsAromatic() for a in mol.GetAtoms())
 
 
+def test_kekule_pyridone_aromatizes():
+    """RDKit's aromaticity model: a ring atom with an exocyclic double
+    bond to a more electronegative atom contributes ZERO pi electrons —
+    it does not block aromatization.  2-pyridone and uracil are aromatic
+    (Kekule or aromatic input alike); quinone fails Hueckel at 4
+    electrons."""
+    for smi in ("O=C1C=CC=CN1", "O=c1cccc[nH]1"):
+        mol = parse_smiles(smi)
+        ring_atoms = [a for a in mol.GetAtoms() if a.GetSymbol() != "O"]
+        assert all(a.GetIsAromatic() for a in ring_atoms), smi
+        n = [a for a in mol.GetAtoms() if a.GetSymbol() == "N"][0]
+        assert n.GetTotalNumHs() == 1, smi
+    # uracil: both N-H retained, ring aromatic
+    mol = parse_smiles("O=C1NC=CC(=O)N1")
+    ns = [a for a in mol.GetAtoms() if a.GetSymbol() == "N"]
+    assert all(n.GetIsAromatic() and n.GetTotalNumHs() == 1 for n in ns)
+    # caffeine in Kekule form == aromatic form perception
+    mol = parse_smiles("CN1C=NC2=C1C(=O)N(C)C(=O)N2C")
+    assert sum(a.GetIsAromatic() for a in mol.GetAtoms()) == 9
+    # para-benzoquinone: 4 pi electrons -> NOT aromatic
+    mol = parse_smiles("O=C1C=CC(=O)C=C1")
+    assert not any(a.GetIsAromatic() for a in mol.GetAtoms())
+    # fulvene-type exocyclic C=C still blocks (not aromatic in RDKit)
+    mol = parse_smiles("C=C1C=CC=C1")
+    assert not any(a.GetIsAromatic() for a in mol.GetAtoms())
+
+
 def test_macrocycle_ring_sizes():
     """MAX_RING raised 8 -> 24 (VERDICT round 1 weak #6): macrocycle ring
     sizes are perceived; in_ring stays exact either way."""
