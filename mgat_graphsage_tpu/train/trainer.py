@@ -50,7 +50,7 @@ from ..models import (
 )
 from ..chem.fingerprints import FINGERPRINT_DIMS
 from ..ops import dense_adjacency
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import make_mesh, replicate, shard_batch, shard_state
 from .checkpoint import load_checkpoint, save_checkpoint
 from .config import TrainConfig
 
@@ -163,7 +163,11 @@ class Trainer:
                            batch_stats=batch_stats,
                            opt_state=self.tx.init(params))
         if self.mesh is not None:
-            state = replicate(state, self.mesh)
+            # DP: everything replicated.  With a >1 `model` axis, big 2-D
+            # kernels (the hybrid's 33.5M-param CNN fc1) and their Adam
+            # moments are column-sharded across it (tensor parallelism) —
+            # XLA partitions the matmuls and optimizer update to match.
+            state = shard_state(state, self.mesh)
         return state
 
     # ------------------------------------------------------------------
@@ -373,10 +377,11 @@ class Trainer:
         # fused program is the single-chip AND the data-parallel path
         # (sharding constraints inside the scan partition each batch over
         # the mesh's `data` axis; see _build_steps)
-        if self.mesh is not None and cfg.batch_size % self.mesh.size:
+        if self.mesh is not None and \
+                cfg.batch_size % self.mesh.shape.get("data", 1):
             raise ValueError(
-                f"batch_size {cfg.batch_size} not divisible by mesh size "
-                f"{self.mesh.size}")
+                f"batch_size {cfg.batch_size} not divisible by data-axis "
+                f"size {self.mesh.shape.get('data', 1)}")
         data = self._device_dataset(self.train_ds)
         host_rng = np.random.default_rng(cfg.seed + epoch)
         perm, smask = self._epoch_indices(len(self.train_ds),
@@ -403,10 +408,11 @@ class Trainer:
             self._build_steps()
         ds = ds or self.val_ds
         cfg = self.cfg
-        if self.mesh is not None and cfg.eval_batch_size % self.mesh.size:
+        if self.mesh is not None and \
+                cfg.eval_batch_size % self.mesh.shape.get("data", 1):
             raise ValueError(
                 f"eval_batch_size {cfg.eval_batch_size} not divisible by "
-                f"mesh size {self.mesh.size}")
+                f"data-axis size {self.mesh.shape.get('data', 1)}")
         data = self._device_dataset(ds)
         perm, smask = self._epoch_indices(len(ds), cfg.eval_batch_size)
         inputs = jax.block_until_ready(

@@ -52,6 +52,40 @@ def test_dp_mesh_uses_fused_epoch_scan():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_tp_mesh_matches_single_device():
+    """2-D (data=4, model=2) mesh: the hybrid's CNN fc1 kernel + Adam
+    moments are column-sharded over the model axis (tensor parallelism);
+    the training math must match the single-device run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = get_config("flagship", epochs=2, batch_size=8,
+                     eval_batch_size=8)
+    ds = MolecularDataset(SMILES, TARGETS, fit_scaler=cfg.scale_targets,
+                          fingerprint="ecfp1024", max_nodes=16,
+                          max_edges=32, verbose=False)
+
+    t_single = Trainer(cfg, ds, ds)
+    s1, _, h1 = t_single.fit(verbose=False)
+
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    t_mesh = Trainer(cfg, ds, ds, mesh=mesh)
+    state = t_mesh.init_state()
+    # fc1 kernel (128*1024 x 256) really is sharded over the model axis
+    fc1 = state.params["cnn"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == P(None, "model"), fc1.sharding
+    mu_fc1 = state.opt_state.mu["cnn"]["fc1"]["kernel"]
+    assert mu_fc1.sharding.spec == P(None, "model")
+    s2, _, h2 = t_mesh.fit(state=state, verbose=False)
+
+    for r1, r2 in zip(h1, h2):
+        assert r1["train_loss"] == pytest.approx(r2["train_loss"],
+                                                 rel=1e-4, abs=1e-5)
+        assert r1["val_mse"] == pytest.approx(r2["val_mse"],
+                                              rel=1e-4, abs=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_dp_mesh_matches_single_device():
     cfg = get_config("graphsage", epochs=3, batch_size=8,
                      eval_batch_size=8)

@@ -17,7 +17,7 @@ TARGETS = np.linspace(4.0, 9.0, len(SMILES)).astype(np.float32)
 # (1024 default, 167 small, 2048 wide use the same CNN code)
 SMOKE_PRESETS = ["flagship", "model1", "model2", "model3", "model4",
                  "model5", "gcn", "graphsage", "gat", "gat_gcn", "gin",
-                 "chebnet", "maccs"]
+                 "chebnet", "maccs", "morgan2048"]
 
 
 @pytest.mark.parametrize("name", SMOKE_PRESETS)
