@@ -36,11 +36,26 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, help="checkpoint to resume")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard batches over all local devices")
+    ap.add_argument("--model-parallel", type=int, default=1,
+                    help="tensor-parallel ways on a (data, model) mesh")
+    ap.add_argument("--fast-optimizer", action="store_true",
+                    help="bf16 Adam moment storage (~10%% faster; "
+                         "storage-only quantization, see train/optim.py)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="initialize jax.distributed (multi-host; "
+                         "coordinator via MGAT_* env vars)")
     args = ap.parse_args(argv)
+
+    if args.distributed:
+        from ..parallel import initialize_distributed
+
+        initialize_distributed()
 
     overrides = {k: v for k, v in dict(
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         seed=args.seed).items() if v is not None}
+    if args.fast_optimizer:
+        overrides["adam_moment_dtype"] = "bfloat16"
     cfg = get_config(args.preset, **overrides)
 
     sm, y = load_csv(args.train_csv)
@@ -59,8 +74,13 @@ def main(argv=None):
                            max_edges=train.max_edges)
 
     ckpt_dir = os.path.join(args.ckpt_dir, cfg.name)
+    mesh = None
+    if args.data_parallel or args.model_parallel > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(model_parallel=args.model_parallel)
     trainer = Trainer(cfg, train, val, ckpt_dir=ckpt_dir,
-                      log_path=args.log, use_mesh=args.data_parallel)
+                      log_path=args.log, mesh=mesh)
 
     state, start_epoch = None, 0
     if args.resume:
