@@ -534,7 +534,13 @@ class Trainer:
             target = {"step": fresh.step, "params": fresh.params,
                       "batch_stats": fresh.batch_stats}
             restored, meta = load_checkpoint(path, target)
-            return fresh.replace(step=restored["step"],
-                                 params=restored["params"],
-                                 batch_stats=restored["batch_stats"]), meta
-        return load_checkpoint(path, fresh)
+            state = fresh.replace(step=restored["step"],
+                                  params=restored["params"],
+                                  batch_stats=restored["batch_stats"])
+        else:
+            state, meta = load_checkpoint(path, fresh)
+        if self.mesh is not None:
+            # restored leaves are host numpy; re-place them with the
+            # mesh shardings (TP kernels included) before resuming
+            state = shard_state(state, self.mesh)
+        return state, meta
