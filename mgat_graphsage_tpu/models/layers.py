@@ -59,7 +59,10 @@ class TorchLinear(nn.Module):
         bound = 1.0 / math.sqrt(fan_in)
         kernel = self.param("kernel", _uniform_init(bound),
                             (fan_in, self.features))
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+        # f32 MXU accumulation, result stored back in the activation dtype
+        # (bf16 end-to-end under TrainConfig.compute_dtype='bfloat16')
+        y = jnp.dot(x, kernel,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", _uniform_init(bound), (self.features,))
             y = y + bias
@@ -78,7 +81,8 @@ class GlorotLinear(nn.Module):
         fan_in = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.glorot_uniform(),
                             (fan_in, self.features))
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+        y = jnp.dot(x, kernel,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
             if self.bias_init == "zeros":
                 bias = self.param("bias", nn.initializers.zeros,
@@ -115,7 +119,8 @@ class CenterTapConv1d(nn.Module):
         bias = self.param("bias", _uniform_init(bound), (self.features,))
         center = weight[:, :, self.kernel_size // 2]  # [out, in]
         return jnp.dot(x, center.T,
-                       preferred_element_type=jnp.float32) + bias
+                       preferred_element_type=jnp.float32).astype(x.dtype) \
+            + bias
 
 
 class ModifiedGATLayer(nn.Module):
@@ -154,6 +159,7 @@ class ModifiedGATLayer(nn.Module):
             x = x.reshape(1, -1, x.shape[-1])
             node_mask = None if node_mask is None else node_mask.reshape(1, -1)
 
+        in_dtype = x.dtype
         q = TorchLinear(self.features, name="query_transform")(x)
         k = TorchLinear(self.features, name="key_transform")(x)
         v = TorchLinear(self.features, name="value_transform")(x)
@@ -161,6 +167,10 @@ class ModifiedGATLayer(nn.Module):
         k5 = CenterTapConv1d(self.features, 5, name="conv5")(k)
         k_new = TorchLinear(self.features, name="linear_transform")(
             jnp.concatenate([k3, k5, k], axis=-1))
+        # attention internals (scores/softmax/weighted sum) run in f32 even
+        # under a bf16 compute dtype — the [N, N] intermediates are tiny at
+        # F=35, so this costs nothing and keeps the softmax well-conditioned
+        q, k_new, v = (t.astype(jnp.float32) for t in (q, k_new, v))
 
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -188,6 +198,7 @@ class ModifiedGATLayer(nn.Module):
                              preferred_element_type=jnp.float32)
             if self.residual:
                 out = out + v
+        out = out.astype(in_dtype)
         if self.flat and len(orig_shape) == 3:
             out = out.reshape(orig_shape[:-1] + (self.features,))
         return out
@@ -211,8 +222,8 @@ class SAGEConv(nn.Module):
                  node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         deg = adj.sum(-1, keepdims=True)
         agg = jnp.einsum("...ij,...jf->...if", adj, x,
-                         preferred_element_type=jnp.float32)
-        agg = agg / jnp.maximum(deg, 1.0)
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        agg = agg / jnp.maximum(deg, 1.0).astype(x.dtype)
         out = TorchLinear(self.features, name="lin_l")(agg)
         out = out + TorchLinear(self.features, use_bias=False,
                                 name="lin_r")(x)
@@ -235,7 +246,7 @@ class GCNConv(nn.Module):
         norm_adj = gcn_norm_adjacency(adj, node_mask, add_loops=self.add_loops)
         h = GlorotLinear(self.features, use_bias=False, name="lin")(x)
         out = jnp.einsum("...ij,...jf->...if", norm_adj, h,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32).astype(x.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return out + bias
 
@@ -280,7 +291,7 @@ class GATConv(nn.Module):
         if self.dropout > 0 and not deterministic:
             attn = nn.Dropout(rate=self.dropout, deterministic=False)(attn)
         out = jnp.einsum("...hij,...jhc->...ihc", attn, wx,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32).astype(x.dtype)
         if self.concat:
             out = out.reshape(x.shape[:-1] + (h * c,))
             bias = self.param("bias", nn.initializers.zeros, (h * c,))
@@ -303,7 +314,7 @@ class GINConv(nn.Module):
     def __call__(self, x: jnp.ndarray, adj: jnp.ndarray,
                  node_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         agg = jnp.einsum("...ij,...jf->...if", adj, x,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32).astype(x.dtype)
         h = (1.0 + self.eps) * x + agg
         h = TorchLinear(self.hidden, name="mlp_0")(h)
         h = nn.relu(h)

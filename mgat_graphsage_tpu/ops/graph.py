@@ -97,7 +97,7 @@ def segment_max_pool(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
     """Masked global max pool ``[B, N, F] -> [B, F]`` (PyG
     ``global_max_pool``, reference ``train.py:119``). Graphs with zero valid
     nodes pool to 0."""
-    neg = jnp.where(node_mask[..., None] > 0, 0.0, _NEG_INF)
+    neg = jnp.where(node_mask[..., None] > 0, 0.0, _NEG_INF).astype(x.dtype)
     pooled = jnp.max(x + neg, axis=-2)
     any_valid = node_mask.max(axis=-1, keepdims=True) > 0
     return jnp.where(any_valid, pooled, 0.0)

@@ -53,6 +53,13 @@ class TrainConfig:
     # the HBM-bound optimizer pass ~1.6x (arithmetic stays f32; see
     # train/optim.py).  Default float32 = exact torch-Adam trajectories.
     adam_moment_dtype: str = "float32"
+    # Forward/backward COMPUTE dtype ("float32" | "bfloat16"): bf16 keeps
+    # f32 master params + f32 gradients/optimizer but stores weights and
+    # activations in bf16 inside the step, halving the fwd/bwd HBM weight
+    # streams (the roofline bottleneck; see bench.py).  MXU accumulation
+    # stays f32 (preferred_element_type) and attention softmax runs f32.
+    # Default float32 = reference-parity numerics.
+    compute_dtype: str = "float32"
 
     @property
     def is_hybrid(self) -> bool:
@@ -73,6 +80,13 @@ PRESETS: Dict[str, TrainConfig] = {
     # boundaries (SURVEY §2.6 quirk; train.py:96-98)
     "flagship_flat": _p(name="flagship_flat", flat_attention=True),
     "model6": _p(name="model6"),
+    # fast production config: flagship recipe with full mixed precision
+    # (bf16 weight/activation storage + bf16 Adam moments, f32 master
+    # params and gradients).  Same model/data/hyperparameters as
+    # `flagship` — exists to document that the throughput mode bench.py
+    # measures reaches the same test metrics (RESULTS.md)
+    "flagship_bf16": _p(name="flagship_bf16", compute_dtype="bfloat16",
+                        adam_moment_dtype="bfloat16"),
     # --- ablation ladder (reference ablation/model*.py) ---
     "model1": _p(name="model1", model="gat_graphsage", attention="gat10",
                  dual_pool=True, sage_features=350, graph_dropout=0.2,

@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--fast-optimizer", action="store_true",
                     help="bf16 Adam moment storage (~10%% faster; "
                          "storage-only quantization, see train/optim.py)")
+    ap.add_argument("--mixed-precision", action="store_true",
+                    help="bf16 weight/activation storage in fwd+bwd "
+                         "(f32 master params/grads/accumulation; "
+                         "see TrainConfig.compute_dtype)")
     ap.add_argument("--distributed", action="store_true",
                     help="initialize jax.distributed (multi-host; "
                          "coordinator via MGAT_* env vars)")
@@ -56,6 +60,8 @@ def main(argv=None):
         seed=args.seed).items() if v is not None}
     if args.fast_optimizer:
         overrides["adam_moment_dtype"] = "bfloat16"
+    if args.mixed_precision:
+        overrides["compute_dtype"] = "bfloat16"
     cfg = get_config(args.preset, **overrides)
 
     sm, y = load_csv(args.train_csv)

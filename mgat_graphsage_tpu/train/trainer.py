@@ -201,6 +201,19 @@ class Trainer:
         # (the fast TPU default).
         matmul_prec = ("highest" if cfg.matmul_precision == "float32"
                        else "default")
+        # compute_dtype='bfloat16': full mixed precision — f32 master
+        # params/optimizer, bf16 weight/activation storage inside the
+        # forward+backward (halves the HBM weight streams that dominate
+        # this 36M-param step; accumulation stays f32 via
+        # preferred_element_type in every layer).  Loss/KL/metrics and
+        # gradients remain f32 (the cast's transpose upcasts).
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+        def _cast_tree(t, dt):
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(dt) if a.dtype in (jnp.float32,
+                                                      jnp.bfloat16) else a,
+                t)
 
         def forward(params, batch_stats, batch, rng, train: bool):
             return jax.default_matmul_precision(matmul_prec)(
@@ -216,24 +229,36 @@ class Trainer:
             # mask-aware ops return zeros (not NaN/-inf) on fully-masked
             # graphs, so this is safe.
             node_mask = batch["node_mask"] * batch["sample_mask"][:, None]
+            nodes, fp = batch["nodes"], batch.get("fp")
+            if cdt is not None:
+                params = _cast_tree(params, cdt)
+                adj = adj.astype(cdt)
+                node_mask = node_mask.astype(cdt)
+                nodes = nodes.astype(cdt)
+                fp = None if fp is None else fp.astype(cdt)
             variables = {"params": params, "batch_stats": batch_stats}
             kwargs = dict(deterministic=not train)
             mutable = ["batch_stats"] if train else False
             if train:
                 kwargs["rngs"] = {"dropout": rng}
             if is_hybrid:
-                out = model.apply(variables, batch["nodes"], adj,
-                                  node_mask, batch["fp"],
+                out = model.apply(variables, nodes, adj,
+                                  node_mask, fp,
                                   mutable=mutable, **kwargs)
                 (pred, latent), new_vars = out if train else (out, {})
             else:
-                out = model.apply(variables, batch["nodes"], adj,
+                out = model.apply(variables, nodes, adj,
                                   node_mask, mutable=mutable,
                                   **kwargs)
                 pred, new_vars = out if train else (out, {})
                 latent = None
             new_bs = new_vars.get("batch_stats", batch_stats) if train \
                 else batch_stats
+            if cdt is not None:
+                pred = pred.astype(jnp.float32)
+                latent = None if latent is None \
+                    else latent.astype(jnp.float32)
+                new_bs = _cast_tree(new_bs, jnp.float32)
             return pred, latent, unfreeze(new_bs)
 
         def loss_fn(params, batch_stats, batch, rng):

@@ -1,0 +1,88 @@
+"""Mixed-precision (compute_dtype='bfloat16') correctness tests.
+
+The bf16 compute path keeps f32 master params, f32 gradients, and f32
+optimizer state; only the weight/activation storage inside forward+backward
+is bf16 (f32 MXU accumulation via preferred_element_type in every layer —
+see models/layers.py).  These tests pin:
+
+  - bf16 forward stays within bf16 rounding distance of the f32 forward
+    on identical params;
+  - a bf16 train step leaves params/grads/moments in f32 and produces a
+    finite loss close to the f32 step's;
+  - short bf16 training converges like f32 training.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mgat_graphsage_tpu.data import MolecularDataset, load_csv, TRAIN_CSV
+from mgat_graphsage_tpu.train import Trainer, get_config
+
+
+@pytest.fixture(scope="module")
+def fp_data():
+    sm, y = load_csv(TRAIN_CSV)
+    return MolecularDataset(sm[:96], y[:96], fit_scaler=True,
+                            fingerprint="ecfp1024", verbose=False)
+
+
+def _eval_pred(cfg, ds, state=None):
+    trainer = Trainer(cfg, ds, ds)
+    st = trainer.init_state() if state is None else state
+    ev = trainer.evaluate(st, ds)
+    return trainer, st, ev
+
+
+def test_bf16_forward_matches_f32_within_rounding(fp_data):
+    f32_cfg = get_config("flagship", batch_size=32)
+    bf16_cfg = f32_cfg.replace(compute_dtype="bfloat16")
+    # identical init (the cast happens inside forward, not at init)
+    tr32, st32, ev32 = _eval_pred(f32_cfg, fp_data)
+    tr16, st16, ev16 = _eval_pred(bf16_cfg, fp_data)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(st32.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(st16.params)[0]))
+    # predictions agree to bf16 rounding (preds are O(1) normalized units)
+    np.testing.assert_allclose(ev16["pred"], ev32["pred"],
+                               rtol=0.05, atol=0.05)
+    # and are meaningfully nonzero (the cast didn't zero anything out)
+    assert np.abs(ev32["pred"]).max() > 1e-3
+
+
+def test_bf16_step_keeps_f32_state_and_close_loss(fp_data):
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = get_config("flagship", batch_size=32, compute_dtype=dt)
+        trainer = Trainer(cfg, fp_data, None)
+        state = trainer.init_state()
+        rng = jax.random.PRNGKey(7)
+        state, m = trainer.train_epoch(state, 0, rng)
+        losses[dt] = m["train_loss"]
+        # master params / optimizer state stay f32 regardless
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        mu = state.opt_state.mu if hasattr(state.opt_state, "mu") \
+            else state.opt_state[0].mu
+        for leaf in jax.tree_util.tree_leaves(mu):
+            assert leaf.dtype == jnp.float32
+    assert np.isfinite(losses["bfloat16"])
+    assert abs(losses["bfloat16"] - losses["float32"]) \
+        < 0.1 * abs(losses["float32"]) + 0.05, losses
+
+
+def test_bf16_training_converges(fp_data):
+    cfg = get_config("flagship", epochs=4, batch_size=32,
+                     compute_dtype="bfloat16",
+                     adam_moment_dtype="bfloat16")
+    trainer = Trainer(cfg, fp_data, None)
+    state = trainer.init_state()
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for e in range(cfg.epochs):
+        rng, sub = jax.random.split(rng)
+        state, m = trainer.train_epoch(state, e, sub)
+        losses.append(m["train_loss"])
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0] * 0.9, losses
