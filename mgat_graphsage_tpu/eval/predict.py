@@ -33,8 +33,8 @@ from ..train.config import TrainConfig
 from ..train.trainer import TrainState, build_model, make_optimizer
 from .metrics import regression_metrics
 
-__all__ = ["load_model_from_checkpoint", "predict_dataset", "predict_csv",
-           "Predictor"]
+__all__ = ["load_model_from_checkpoint", "make_scan_predict",
+           "predict_dataset", "predict_csv", "Predictor"]
 
 
 def load_model_from_checkpoint(ckpt_path: str):
@@ -90,22 +90,30 @@ def load_model_from_checkpoint(ckpt_path: str):
     return model, state, cfg, scaler, (max_nodes, max_edges)
 
 
-def predict_dataset(model, state, cfg: TrainConfig,
-                    scaler: StandardScaler, ds: MolecularDataset,
-                    batch_size: int = 64) -> np.ndarray:
-    """De-normalized predictions for every molecule in ``ds``.
+def make_scan_predict(model, cfg: TrainConfig, scaler: StandardScaler,
+                      infer_dtype: Optional[str] = None):
+    """Build the jitted whole-dataset prediction scan ONCE.
 
-    TPU-native structure mirroring the trainer: the dataset is uploaded
-    once and the whole prediction pass is one jitted ``lax.scan`` —
-    per-batch dispatch over the TPU tunnel costs ~200ms RTT each, which
-    at 50k molecules is the difference between 2.2k and >100k mol/s.
+    Serving callers (``Predictor``) must reuse the returned function
+    across calls: a fresh closure per call would miss jax.jit's cache
+    and re-trace (over the TPU tunnel: re-COMPILE, ~30-60s) on every
+    request.  ``infer_dtype='bfloat16'`` runs the forward in bf16
+    storage (f32 MXU accumulation and f32 de-normalization — same
+    scheme as ``TrainConfig.compute_dtype``) for ~half the weight
+    streaming per batch; default f32 matches training-eval numerics.
     """
     mean = jnp.float32(scaler.mean_)
     scale = jnp.float32(scaler.scale_)
     is_hybrid = cfg.is_hybrid
+    cdt = jnp.bfloat16 if infer_dtype == "bfloat16" else None
 
     @jax.jit
     def scan_predict(params, batch_stats, perm, smask, data):
+        if cdt is not None:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a,
+                params)
+
         def body(_, inp):
             idx, sm = inp
             nodes = data["nodes"][idx]
@@ -115,16 +123,41 @@ def predict_dataset(model, state, cfg: TrainConfig,
             # inert in flat-mode cross-molecule attention (the reference's
             # final batch is simply smaller)
             node_mask = data["node_mask"][idx] * sm[:, None]
+            fp = data["fp"][idx] if is_hybrid else None
+            if cdt is not None:
+                nodes = nodes.astype(cdt)
+                adj = adj.astype(cdt)
+                node_mask = node_mask.astype(cdt)
+                fp = None if fp is None else fp.astype(cdt)
             variables = {"params": params, "batch_stats": batch_stats}
             if is_hybrid:
                 pred, _ = model.apply(variables, nodes, adj, node_mask,
-                                      data["fp"][idx])
+                                      fp)
             else:
                 pred = model.apply(variables, nodes, adj, node_mask)
-            return None, pred.reshape(-1) * scale + mean
+            return None, pred.reshape(-1).astype(jnp.float32) \
+                * scale + mean
 
         _, preds = jax.lax.scan(body, None, (perm, smask))
         return preds
+
+    return scan_predict
+
+
+def predict_dataset(model, state, cfg: TrainConfig,
+                    scaler: StandardScaler, ds: MolecularDataset,
+                    batch_size: int = 64,
+                    scan_fn=None) -> np.ndarray:
+    """De-normalized predictions for every molecule in ``ds``.
+
+    TPU-native structure mirroring the trainer: the dataset is uploaded
+    once and the whole prediction pass is one jitted ``lax.scan`` —
+    per-batch dispatch over the TPU tunnel costs ~200ms RTT each, which
+    at 50k molecules is the difference between 2.2k and >100k mol/s.
+    Pass ``scan_fn`` (from :func:`make_scan_predict`) to reuse the
+    compiled program across calls.
+    """
+    scan_predict = scan_fn or make_scan_predict(model, cfg, scaler)
 
     n = len(ds)
     n_batches = (n + batch_size - 1) // batch_size
@@ -186,12 +219,20 @@ class Predictor:
 
     >>> p = Predictor("checkpoints/flagship/best_model.msgpack")
     >>> p(["CCO", "c1ccccc1O"])          # -> np.ndarray of pChEMBL values
+
+    ``infer_dtype='bfloat16'`` serves the forward pass in bf16 storage
+    (see :func:`make_scan_predict`); default f32 matches training-eval
+    numerics exactly.  The jitted prediction program is built once here
+    and reused for every call (repeat calls at the same batch size hit
+    the compiled program — no re-trace).
     """
 
-    def __init__(self, ckpt_path: str):
+    def __init__(self, ckpt_path: str, infer_dtype: Optional[str] = None):
         (self.model, self.state, self.cfg, self.scaler,
          (self.max_nodes, self.max_edges)) = \
             load_model_from_checkpoint(ckpt_path)
+        self._scan_fn = make_scan_predict(self.model, self.cfg,
+                                          self.scaler, infer_dtype)
 
     def __call__(self, smiles, batch_size: int = 64) -> np.ndarray:
         """Predict pChEMBL for each input SMILES.
@@ -215,7 +256,8 @@ class Predictor:
         except ValueError:
             return out  # no valid molecules at all
         preds = predict_dataset(self.model, self.state, self.cfg,
-                                self.scaler, ds, batch_size)
+                                self.scaler, ds, batch_size,
+                                scan_fn=self._scan_fn)
         out[ds.kept_indices] = preds
         return out
 

@@ -126,6 +126,41 @@ def test_predictor_api(tmp_path, small_data):
     np.testing.assert_allclose(one[0], preds[0], atol=1e-5)
 
 
+def test_predictor_reuses_compiled_program(tmp_path, small_data):
+    """Serving perf regression: repeat Predictor calls at the same input
+    size must hit the jitted scan's cache (a fresh closure per call
+    would re-trace — over the TPU tunnel, re-COMPILE — every request)."""
+    from mgat_graphsage_tpu.eval.predict import Predictor
+
+    train, val = small_data
+    cfg = get_config("graphsage", epochs=1, batch_size=32)
+    trainer = Trainer(cfg, train, val, ckpt_dir=str(tmp_path))
+    trainer.fit(verbose=False)
+    p = Predictor(str(tmp_path / "best_model.msgpack"))
+    p(["CCO", "c1ccccc1O"])
+    n_traced = p._scan_fn._cache_size()
+    p(["CCC", "c1ccncc1"])
+    p(["CCCC", "CCN"])
+    assert p._scan_fn._cache_size() == n_traced
+
+
+def test_predictor_bf16_inference_close_to_f32(tmp_path, small_data):
+    """infer_dtype='bfloat16' serves within bf16 rounding of the f32
+    path (f32 accumulation + f32 de-normalization preserved)."""
+    from mgat_graphsage_tpu.eval.predict import Predictor
+
+    train, val = small_data
+    cfg = get_config("graphsage", epochs=2, batch_size=32)
+    trainer = Trainer(cfg, train, val, ckpt_dir=str(tmp_path))
+    trainer.fit(verbose=False)
+    smiles = ["CCO", "c1ccccc1O", "CC(=O)Oc1ccccc1C(=O)O", "CCN(CC)CC"]
+    f32 = Predictor(str(tmp_path / "best_model.msgpack"))(smiles)
+    b16 = Predictor(str(tmp_path / "best_model.msgpack"),
+                    infer_dtype="bfloat16")(smiles)
+    assert np.all(np.isfinite(b16))
+    np.testing.assert_allclose(b16, f32, rtol=0.05, atol=0.05)
+
+
 def test_predictor_nan_aligns_invalid_smiles(tmp_path, small_data):
     """ADVICE r1: dropped (unparseable) molecules must yield NaN rows,
     not silently shift every later prediction up one index."""
