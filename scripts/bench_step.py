@@ -1,0 +1,88 @@
+"""Isolated train-step time across precision configs (f32 parity,
+bf16 Adam moments, full mixed precision), with the scan-probe done
+right: the carry consumes every output, so nothing is DCE'd (the
+round-1 pitfall that produced a bogus 1.27 ms/step).
+
+Chains K steps in ONE jitted lax.scan dispatch over a fixed batch and
+times the whole program; writes BENCH_STEP.json.
+
+Usage (on the TPU):  python scripts/bench_step.py [--steps 200]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgat_graphsage_tpu.data import MolecularDataset, load_csv, TRAIN_CSV
+from mgat_graphsage_tpu.train import Trainer, get_config
+
+CONFIGS = {
+    "f32_parity": {},
+    "bf16_moments": {"adam_moment_dtype": "bfloat16"},
+    "bf16_full": {"adam_moment_dtype": "bfloat16",
+                  "compute_dtype": "bfloat16"},
+}
+
+
+def bench_config(name, overrides, ds, batch_size, n_steps):
+    cfg = get_config("flagship", batch_size=batch_size, **overrides)
+    trainer = Trainer(cfg, ds, None)
+    state = trainer.init_state()
+    if not hasattr(trainer, "_train_epoch_scan"):
+        trainer._build_steps()
+    rng = jax.random.PRNGKey(0)
+    data = trainer._device_dataset(ds)
+    perm, smask = trainer._epoch_indices(len(ds), batch_size,
+                                         np.random.default_rng(0))
+    # chain n_steps over the same epoch-permutation programme
+    reps = (n_steps + perm.shape[0] - 1) // perm.shape[0]
+    perm = jnp.asarray(np.concatenate([perm] * reps)[:n_steps])
+    smask = jnp.asarray(np.concatenate([smask] * reps)[:n_steps])
+    args = jax.block_until_ready((perm, smask, rng))
+    # compile + warmup; _train_epoch_scan's carry consumes the step
+    # output (state), so all n_steps execute
+    state2, m = trainer._train_epoch_scan(state, *args, data)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    state3, m = trainer._train_epoch_scan(state2, *args, data)
+    float(m)  # sync
+    dt = time.perf_counter() - t0
+    ms = dt / n_steps * 1e3
+    mol_s = n_steps * batch_size / dt
+    print(f"[bench_step] {name:14s} {ms:.3f} ms/step  "
+          f"{mol_s:,.0f} mol/s  (loss={float(m):.4f})", file=sys.stderr)
+    return {"config": name, "ms_per_step": round(ms, 4),
+            "mol_per_s": round(mol_s, 1), "batch_size": batch_size,
+            "n_steps": n_steps}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--n-molecules", type=int, default=2048)
+    ap.add_argument("--out", default="BENCH_STEP.json")
+    args = ap.parse_args()
+
+    sm, y = load_csv(TRAIN_CSV)
+    ds = MolecularDataset(sm[:args.n_molecules], y[:args.n_molecules],
+                          fit_scaler=True, fingerprint="ecfp1024",
+                          verbose=False)
+    rows = [bench_config(name, ov, ds, args.batch_size, args.steps)
+            for name, ov in CONFIGS.items()]
+    out = {"device": jax.devices()[0].device_kind, "rows": rows}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
