@@ -14,6 +14,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -136,9 +137,7 @@ def bench_tpu(ds) -> float:
     # gradients).  `flagship_bf16` trains to the same test metrics as the
     # f32-parity `flagship` (RESULTS.md); BENCH_PARITY=1 times the strict
     # parity config instead.
-    import os as _os
-
-    preset = ("flagship" if _os.environ.get("BENCH_PARITY", "0") == "1"
+    preset = ("flagship" if os.environ.get("BENCH_PARITY", "0") == "1"
               else "flagship_bf16")
     cfg = get_config(preset, batch_size=BATCH_SIZE)
     log(f"[bench] preset {preset}: compute_dtype={cfg.compute_dtype}, "
@@ -209,8 +208,6 @@ def bench_tpu(ds) -> float:
             f"(Adam state traffic on the 34M-param CNN fc1 dominates)")
 
     # ---- optional profiler trace artifact ----
-    import os
-
     if os.environ.get("BENCH_TRACE", "0") == "1":
         try:
             trace_dir = os.path.join(os.path.dirname(

@@ -338,9 +338,7 @@ def _crippen_class(mol: Mol, a) -> str:
             return "C6"
         # sp3
         attached_arom = any(n.GetIsAromatic() for n in nbrs)
-        attached_het = any(n.GetSymbol() in _HETERO and
-                           not n.GetIsAromatic() for n in nbrs) or \
-            any(n.GetSymbol() in _HETERO for n in nbrs)
+        attached_het = any(n.GetSymbol() in _HETERO for n in nbrs)
         if attached_arom:
             het_arom = any(n.GetIsAromatic() and n.GetSymbol() != "C"
                            for n in nbrs)

@@ -147,7 +147,7 @@ def make_scan_predict(model, cfg: TrainConfig, scaler: StandardScaler,
 def predict_dataset(model, state, cfg: TrainConfig,
                     scaler: StandardScaler, ds: MolecularDataset,
                     batch_size: int = 64,
-                    scan_fn=None) -> np.ndarray:
+                    scan_fn=None, bucket: bool = False) -> np.ndarray:
     """De-normalized predictions for every molecule in ``ds``.
 
     TPU-native structure mirroring the trainer: the dataset is uploaded
@@ -155,25 +155,42 @@ def predict_dataset(model, state, cfg: TrainConfig,
     per-batch dispatch over the TPU tunnel costs ~200ms RTT each, which
     at 50k molecules is the difference between 2.2k and >100k mol/s.
     Pass ``scan_fn`` (from :func:`make_scan_predict`) to reuse the
-    compiled program across calls.
+    compiled program across calls.  ``bucket=True`` (the serving path)
+    rounds the batch count up to a power of two and zero-pads the
+    device arrays to match, so the traced shapes — and therefore the
+    compiled program — are shared by all request sizes in the same
+    bucket instead of re-tracing per distinct input length.
     """
     scan_predict = scan_fn or make_scan_predict(model, cfg, scaler)
 
     n = len(ds)
     n_batches = (n + batch_size - 1) // batch_size
-    pad = n_batches * batch_size - n
+    if bucket:
+        n_batches = 1 << (n_batches - 1).bit_length()
+    rows = n_batches * batch_size
+    pad = rows - n
     idx = np.arange(n)
-    smask = np.ones(n_batches * batch_size, np.float32)
+    smask = np.ones(rows, np.float32)
     if pad:
         idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
         smask[-pad:] = 0.0
     smask = smask.reshape(n_batches, batch_size)
     perm = idx.reshape(n_batches, batch_size).astype(np.int32)
+
+    def _rows(a):
+        a = np.asarray(a)
+        if bucket and a.shape[0] < rows:
+            # zero-pad so the device-array shape is the bucket's, not the
+            # request's (padding rows are never selected: perm < n)
+            width = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            a = np.pad(a, width)
+        return jnp.asarray(a)
+
     data = jax.block_until_ready({
-        "nodes": jnp.asarray(ds.nodes), "edges": jnp.asarray(ds.edges),
-        "node_mask": jnp.asarray(ds.node_mask),
-        "edge_mask": jnp.asarray(ds.edge_mask),
-        "fp": jnp.asarray(ds.fp),
+        "nodes": _rows(ds.nodes), "edges": _rows(ds.edges),
+        "node_mask": _rows(ds.node_mask),
+        "edge_mask": _rows(ds.edge_mask),
+        "fp": _rows(ds.fp),
     })
     perm_dev, smask_dev = jax.block_until_ready(
         (jnp.asarray(perm), jnp.asarray(smask)))
@@ -257,7 +274,7 @@ class Predictor:
             return out  # no valid molecules at all
         preds = predict_dataset(self.model, self.state, self.cfg,
                                 self.scaler, ds, batch_size,
-                                scan_fn=self._scan_fn)
+                                scan_fn=self._scan_fn, bucket=True)
         out[ds.kept_indices] = preds
         return out
 

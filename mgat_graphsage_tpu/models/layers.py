@@ -381,10 +381,16 @@ class MaskedBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            w = node_mask[..., None]
+            # statistics always accumulate in f32 — under
+            # compute_dtype='bfloat16' a bf16 sum over thousands of nodes
+            # quantizes the count/mean and the error compounds through the
+            # running-stat EMA every step (torch.autocast likewise keeps
+            # batch_norm in f32)
+            xf = x.astype(jnp.float32)
+            w = node_mask.astype(jnp.float32)[..., None]
             cnt = jnp.maximum(w.sum(), 1.0)
-            mean = (x * w).sum(axis=tuple(range(x.ndim - 1))) / cnt
-            var = (((x - mean) ** 2) * w).sum(
+            mean = (xf * w).sum(axis=tuple(range(x.ndim - 1))) / cnt
+            var = (((xf - mean) ** 2) * w).sum(
                 axis=tuple(range(x.ndim - 1))) / cnt
             if not self.is_initializing():
                 # torch uses the unbiased variance for running stats
@@ -393,7 +399,8 @@ class MaskedBatchNorm(nn.Module):
                                  + self.momentum * mean)
                 ra_var.value = ((1 - self.momentum) * ra_var.value
                                 + self.momentum * unbiased)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        y = (x - mean.astype(x.dtype)) \
+            * jax.lax.rsqrt(var + self.eps).astype(x.dtype) * scale + bias
         return y
 
 

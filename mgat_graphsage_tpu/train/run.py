@@ -81,7 +81,10 @@ def main(argv=None):
 
     ckpt_dir = os.path.join(args.ckpt_dir, cfg.name)
     mesh = None
-    if args.data_parallel or args.model_parallel > 1:
+    # --distributed implies a global mesh: without one, every process
+    # would train an independent full copy of the model and race on the
+    # checkpoint path
+    if args.distributed or args.data_parallel or args.model_parallel > 1:
         from ..parallel import make_mesh
 
         mesh = make_mesh(model_parallel=args.model_parallel)

@@ -473,6 +473,14 @@ class Trainer:
         epochs = cfg.epochs if epochs is None else epochs
         if state is None:
             state = self.init_state()
+        # multi-process (jax.distributed) runs: every process executes the
+        # same SPMD program, but only process 0 touches the shared
+        # filesystem — concurrent writers would interleave the checkpoint
+        # bytes and the JSONL log
+        is_primary = jax.process_index() == 0
+        save_best = save_best and is_primary
+        verbose = verbose and is_primary
+        log_path = self.log_path if is_primary else None
         rng = jax.random.PRNGKey(cfg.seed + 1234)
         best_state = state
         best_metric = float("inf")
@@ -510,8 +518,8 @@ class Trainer:
                         self.save(ckpt_path, best_state, row, light=True)
                         last_save = now
             self.history.append(row)
-            if self.log_path:
-                with open(self.log_path, "a") as f:
+            if log_path:
+                with open(log_path, "a") as f:
                     f.write(json.dumps(
                         {k: v for k, v in row.items()
                          if isinstance(v, (int, float, bool, str))}) + "\n")

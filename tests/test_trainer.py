@@ -139,8 +139,11 @@ def test_predictor_reuses_compiled_program(tmp_path, small_data):
     p = Predictor(str(tmp_path / "best_model.msgpack"))
     p(["CCO", "c1ccccc1O"])
     n_traced = p._scan_fn._cache_size()
-    p(["CCC", "c1ccncc1"])
-    p(["CCCC", "CCN"])
+    # different request sizes in the same bucket share the compiled
+    # program (the serving path pads device arrays to a power-of-two
+    # batch count, so the traced shapes are bucket-keyed, not size-keyed)
+    p(["CCC", "c1ccncc1", "CCN"])
+    p("CCCC")
     assert p._scan_fn._cache_size() == n_traced
 
 
