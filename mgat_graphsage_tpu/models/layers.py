@@ -169,8 +169,12 @@ class ModifiedGATLayer(nn.Module):
             jnp.concatenate([k3, k5, k], axis=-1))
         # attention internals (scores/softmax/weighted sum) run in f32 even
         # under a bf16 compute dtype — the [N, N] intermediates are tiny at
-        # F=35, so this costs nothing and keeps the softmax well-conditioned
+        # F=35, so this costs nothing and keeps the softmax well-conditioned.
+        # node_mask must be f32 too: a bf16 mask trips a Mosaic relayout
+        # bug in the Pallas kernel's bf16->i1 compare on real TPUs
         q, k_new, v = (t.astype(jnp.float32) for t in (q, k_new, v))
+        if node_mask is not None:
+            node_mask = node_mask.astype(jnp.float32)
 
         use_pallas = self.use_pallas
         if use_pallas is None:
