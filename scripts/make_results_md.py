@@ -6,13 +6,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-ORDER = ["flagship", "flagship_flat", "model1", "model2", "model3", "model4", "model5",
+ORDER = ["flagship", "flagship_bf16", "flagship_flat", "model1", "model2", "model3", "model4", "model5",
          "gcn", "graphsage", "gat", "gat_gcn", "gin", "chebnet",
          "morgan1024", "morgan2048", "ecfp2048", "fcfp", "maccs",
          "smifp", "bci"]
 
 DESC = {
     "flagship": "hybrid M-GAT-GraphSAGE + ECFP-CNN + KL (reference train.py)",
+    "flagship_bf16": "flagship in the bf16 mixed-precision production config",
     "flagship_flat": "flagship with the reference's batch-global attention quirk",
     "model1": "ablation 1: PyG-style GAT(h=10)+SAGE, dual pool",
     "model2": "ablation 2: ModifiedGAT w/o +V residual",
@@ -25,7 +26,7 @@ DESC = {
     "gat_gcn": "GAT+GCN baseline",
     "gin": "GIN baseline (5 layers + BN)",
     "chebnet": "ChebNet baseline (custom pseudo-Laplacian)",
-    "morgan1024": "flagship w/ Morgan-1024", "morgan2048": "w/ Morgan-2048",
+    "morgan1024": "w/ Morgan-1024 (== flagship: reference morgan=1024.py:55-59 computes the same r=2/1024 Morgan bits as train.py get_ecfp)", "morgan2048": "w/ Morgan-2048",
     "ecfp2048": "w/ ECFP-2048 (wide CNN)", "fcfp": "w/ FCFP",
     "maccs": "w/ MACCS-167", "smifp": "w/ SMIFP n-gram", "bci": "w/ BCI",
 }
