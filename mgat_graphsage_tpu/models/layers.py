@@ -149,7 +149,13 @@ class ModifiedGATLayer(nn.Module):
     features: int
     residual: bool = True
     flat: bool = False
-    use_pallas: Optional[bool] = None   # None = auto (TPU backend only)
+    # Pallas fused-attention kernel: opt-in.  Measured on a real v5e at
+    # the production shape [128, 80, 35] (BENCH_PALLAS.json) the kernel
+    # is 0.76x XLA fwd / 0.70x fwd+bwd — at F=35 the op is too small for
+    # a hand kernel to beat XLA's own fusion, so the default is the XLA
+    # path; the kernel stays available (and correctness-tested) for
+    # larger feature dims where VMEM blocking pays off.
+    use_pallas: Optional[bool] = None   # None = auto (currently: off)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -178,7 +184,7 @@ class ModifiedGATLayer(nn.Module):
 
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = False  # measured: XLA wins at this shape
         # the fused kernel keeps the whole [N, N] attention in VMEM — only
         # valid for per-molecule N (flat mode concatenates the batch into
         # one node set of B*N, whose scores blow the 16MB VMEM budget)

@@ -80,10 +80,13 @@ def main():
         q, k, v, m, True, interpret)
     ref = lambda q, k, v, m: attention_reference(q, k, v, m, True)  # noqa: E731
 
-    # correctness first
+    # correctness first: on real TPUs the XLA path multiplies in bf16
+    # (default matmul precision) while the kernel accumulates f32, so
+    # the bound is bf16 rounding, not f32 (exact-f32 equality is pinned
+    # by tests/test_pallas.py in interpret mode)
     np.testing.assert_allclose(np.asarray(fused(q, k, v, mask)),
                                np.asarray(ref(q, k, v, mask)),
-                               atol=2e-5, rtol=1e-5)
+                               atol=5e-4, rtol=2e-3)
 
     t_ref_f, _ = timeit(scan_over(ref), q, k, v, mask)
     t_fus_f, _ = timeit(scan_over(fused), q, k, v, mask)
