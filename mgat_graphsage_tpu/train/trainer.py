@@ -272,14 +272,24 @@ class Trainer:
                 loss = loss + kl_lambda * kl
             return loss, (mse, kl, new_bs)
 
-        def train_step(state: TrainState, batch, rng):
+        def train_step_carried(state: TrainState, params_c, batch, rng):
+            """One step given the compute-dtype working copy of the
+            params.  Under bf16 the copy is produced by the PREVIOUS
+            step's optimizer epilogue (the cast fuses into the Adam
+            param write), so the forward/backward never re-reads the
+            f32 master weights — that read was ~144MB/step, the last
+            avoidable stream in the roofline.  Gradients come out bf16
+            (w.r.t. the bf16 copy); Adam's arithmetic stays f32 via
+            dtype promotion (measured indistinguishable from f32
+            grads).
+
+            (measured dead end kept for the record: explicitly casting
+            f32 grads to bf16 changed nothing — XLA already fuses the
+            backward epilogue into the optimizer.)
+            """
             (loss, (mse, kl, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, state.batch_stats,
+                loss_fn, has_aux=True)(params_c, state.batch_stats,
                                        batch, rng)
-            # (measured dead end: casting grads to bf16 here changes
-            # nothing — 2.471 vs 2.465 ms/step — XLA already fuses the
-            # backward epilogue into the optimizer, so the f32 gradient
-            # never round-trips HBM as a separate stream)
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -287,7 +297,17 @@ class Trainer:
                                       params=new_params,
                                       batch_stats=new_bs,
                                       opt_state=new_opt)
-            return new_state, {"loss": loss, "mse": mse, "kl": kl}
+            new_params_c = (_cast_tree(new_params, cdt)
+                            if cdt is not None else new_params)
+            return new_state, new_params_c, \
+                {"loss": loss, "mse": mse, "kl": kl}
+
+        def train_step(state: TrainState, batch, rng):
+            params_c = (_cast_tree(state.params, cdt)
+                        if cdt is not None else state.params)
+            new_state, _, metrics = train_step_carried(
+                state, params_c, batch, rng)
+            return new_state, metrics
 
         def eval_step(state: TrainState, batch):
             pred, _, _ = forward(state.params, state.batch_stats, batch,
@@ -309,21 +329,39 @@ class Trainer:
             traffic per epoch is one index array + one scalar out,
             instead of per-step batch uploads + metric syncs.
             """
-            def body(carry, inp):
-                st, r = carry
+            def gather(inp):
                 idx, smask = inp
                 batch = {k: v[idx] for k, v in data.items()
                          if k not in ("y", "y_orig")}
                 batch["y"] = data["y"][idx]
                 batch["y_orig"] = data["y_orig"][idx]
                 batch["sample_mask"] = smask
-                batch = constrain(batch)
-                r, sub = jax.random.split(r)
-                st, metrics = train_step(st, batch, sub)
-                return (st, r), metrics["loss"]
+                return constrain(batch)
 
-            (state, _), losses = jax.lax.scan(
-                body, (state, rng), (perm, sample_masks))
+            if cdt is None:
+                def body(carry, inp):
+                    st, r = carry
+                    r, sub = jax.random.split(r)
+                    st, metrics = train_step(st, gather(inp), sub)
+                    return (st, r), metrics["loss"]
+
+                (state, _), losses = jax.lax.scan(
+                    body, (state, rng), (perm, sample_masks))
+            else:
+                # mixed precision: thread the bf16 working copy through
+                # the carry so each step's copy is the previous step's
+                # fused optimizer output (one f32->bf16 cast per EPOCH
+                # instead of a 144MB f32 weight re-read per STEP)
+                def body(carry, inp):
+                    st, pc, r = carry
+                    r, sub = jax.random.split(r)
+                    st, pc, metrics = train_step_carried(
+                        st, pc, gather(inp), sub)
+                    return (st, pc, r), metrics["loss"]
+
+                params_c = _cast_tree(state.params, cdt)
+                (state, _, _), losses = jax.lax.scan(
+                    body, (state, params_c, rng), (perm, sample_masks))
             return state, losses.mean()
 
         def eval_scan(state: TrainState, perm: jnp.ndarray,
