@@ -123,8 +123,13 @@ def build_models(seed: int = 42, fast: bool = False) -> Dict:
         "Passive Aggressive": PassiveAggressiveRegressor(
             random_state=seed),
         "RANSAC": RANSACRegressor(random_state=seed),
+        # full mode mirrors sklearn/pycaret defaults closely; fast mode
+        # caps the subpopulation — at 1199 features each Theil-Sen
+        # subset solve is a ~1200^3/3-flop lstsq, and 1000 of them x6
+        # fits is hours on one core
         "TheilSen": TheilSenRegressor(random_state=seed,
-                                      max_subpopulation=1000),
+                                      max_subpopulation=50 if fast
+                                      else 1000),
     }
     for name, importer in (
             ("XGBoost", "xgboost"), ("LightGBM", "lightgbm"),
