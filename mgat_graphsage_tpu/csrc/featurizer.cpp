@@ -538,10 +538,26 @@ void aromatize(Mol& m, const std::vector<std::vector<int>>& rings) {
   }
 }
 
-void assign_implicit_hs(Mol& m) {
+// Returns false when a neutral atom's total bond order exceeds its
+// highest Daylight valence — chemically impossible input such as CO=C
+// (mirrors the SmilesParseError raised in chem/smiles.py; VERDICT r3 #1a).
+// Charged bracket atoms are exempt, as in the Python twin.
+bool assign_implicit_hs(Mol& m) {
   for (auto& a : m.atoms) {
-    if (a.is_bracket) { a.implicit_hs = 0; continue; }
     auto it = kValences.find(a.symbol);
+    if (a.is_bracket) {
+      a.implicit_hs = 0;
+      if (it != kValences.end() && a.charge == 0) {
+        double order_sum = 0.0;
+        for (int bi : a.bond_idxs) {
+          auto& b = m.bonds[bi];
+          order_sum += b.aromatic ? 1.0 : b.order;
+        }
+        int total = (int)(order_sum + 0.5) + std::max(a.explicit_hs, 0);
+        if (total > it->second.back()) return false;
+      }
+      continue;
+    }
     if (it == kValences.end()) { a.implicit_hs = 0; continue; }
     double order_sum = 0.0;
     for (int bi : a.bond_idxs) {
@@ -553,9 +569,12 @@ void assign_implicit_hs(Mol& m) {
     // (pyrrole-type N keeps its H; mirrors chem/smiles.py)
     if (a.aromatic && !a.lp_donor && total + 1 <= it->second[0]) total += 1;
     a.implicit_hs = 0;
+    bool fits = false;
     for (int v : it->second)
-      if (total <= v) { a.implicit_hs = v - total; break; }
+      if (total <= v) { a.implicit_hs = v - total; fits = true; break; }
+    if (!fits) return false;
   }
+  return true;
 }
 
 // Steric-number model (mirrors Mol._assign_hybridization in
@@ -590,7 +609,7 @@ bool perceive(Mol& m) {
   build_adjacency(m);
   auto rings = find_rings(m);
   aromatize(m, rings);
-  assign_implicit_hs(m);
+  if (!assign_implicit_hs(m)) return false;
   assign_hybridization(m);
   return true;
 }
@@ -746,7 +765,7 @@ int mgat_featurize(const char* smiles, int feat_dim, int max_nodes,
   if (!smiles || !*smiles) return -1;
   Mol m;
   if (!parse_smiles(std::string(smiles), m)) return -1;
-  perceive(m);
+  if (!perceive(m)) return -1;
   const int n = (int)m.atoms.size();
   if (n > max_nodes) return -2;
   std::memset(nodes, 0, sizeof(float) * (size_t)max_nodes * feat_dim);

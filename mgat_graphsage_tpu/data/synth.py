@@ -41,7 +41,15 @@ _SCAFFOLDS_1 = [
     "C1CCC({0})CC1",            # cyclohexane
     "c1ccc2[nH]c({0})nc2c1",    # benzimidazole
     "c1ccc2oc({0})nc2c1",       # benzoxazole
-    "O=C1NC(=O)c2ccccc2N1{0}",  # quinazolinedione-like
+    # Quinazolinedione-like scaffold.  Written so the string's FIRST atom
+    # is the ring N (an atom that can accept one extra single bond): when
+    # a scaffold is nested after a linker (``linker.format(inner)``) or
+    # wrapped in ``generate_dataset``, composition bonds the previous atom
+    # to the fragment's first atom.  The round-2 form started with the
+    # exocyclic carbonyl O (``O=C1...``), so every nested use produced a
+    # trivalent neutral oxygen — the VERDICT r2 dataset-chemistry bug.
+    # The substitution site moves to a benzo carbon, which is always safe.
+    "N1C(=O)NC(=O)c2cc({0})ccc21",
 ]
 _SCAFFOLDS_2 = [
     "c1cc({0})ccc1{1}",

@@ -311,3 +311,39 @@ def test_macrocycle_ring_sizes():
     mol = parse_smiles("C1" + "C" * 29 + "1")  # 30-ring
     assert mol.GetAtomWithIdx(0).IsInRing()
     assert mol.GetAtomWithIdx(0).ring_sizes == ()
+
+
+def test_valence_validation_rejects_impossible_neutrals():
+    """Total-bond-order valence validation (VERDICT r2 -> r3 #1a): RDKit
+    sanitization rejects over-valent neutral atoms; this parser must too.
+    The round-2 frozen splits contained trivalent neutral oxygens produced
+    by the synth generator's carbonyl-O attachment bug."""
+    import pytest as _pytest
+    bad = [
+        "CO=C",                       # trivalent neutral O
+        "CC(=O)O=C1NC(=O)c2ccccc2N1Br",  # the synth-bug shape itself
+        "C(C)(C)(C)(C)C",             # pentavalent neutral C
+        "CF(C)C",                     # divalent neutral F
+        "[OH3]",                      # bracket NEUTRAL over-valent O
+    ]
+    for smi in bad:
+        with _pytest.raises(SmilesParseError):
+            parse_smiles(smi)
+
+
+def test_valence_validation_keeps_valid_chemistry():
+    """Charged species, hypervalent S/P/N within Daylight valences, and
+    aromatic lone-pair donors must all still parse."""
+    good = [
+        "O=[N+]([O-])c1ccccc1",   # nitro, charged form
+        "N(=O)=O",                # nitro, neutral pentavalent N (Daylight 5)
+        "CS(=O)(=O)N",            # sulfonamide: S valence 6
+        "OP(=O)(O)O",             # phosphate: P valence 5
+        "c1cc[nH]c1",             # pyrrole lone-pair donor keeps its H
+        "c1ccn2ccccc12",          # indolizine bridgehead aromatic N
+        "[NH4+].[Cl-]",           # charged bracket atoms exempt
+        "O=C1NC=CC(=O)N1",        # uracil (aromatized Kekule ring)
+        "C[S+](C)C",              # sulfonium: charged, exempt
+    ]
+    for smi in good:
+        parse_smiles(smi)  # must not raise
