@@ -32,8 +32,11 @@ from ..chem.smiles import parse_smiles
 from ..data import MolecularDataset, load_csv
 from ..models import GATGraphSAGE
 from ..eval.predict import load_model_from_checkpoint
-from .gradients import make_gradient_explainer, process_node_importance
-from .gnnexplainer import make_gnn_explainer
+from .gradients import (
+    make_scan_gradient_explainer,
+    process_node_importance_batch,
+)
+from .gnnexplainer import make_scan_gnn_explainer
 from .sampling import select_representative_molecules
 from .substructures import (
     SubstructureIdentifier,
@@ -65,30 +68,47 @@ def _graph_branch_apply(cfg, params):
     return apply
 
 
-def quick_importance_analysis_all(ds: MolecularDataset, graph_apply,
-                                  scaler, batch_size: int = 64,
-                                  verbose: bool = True) -> Dict:
-    """Stage 1: batched gradient importance + prediction for every
-    molecule (reference ``quick_importance_analysis_all``,
-    ``gnnexplainer.py:1402-1442``)."""
+def _batch_perm(n_mols: int, batch_size: int) -> np.ndarray:
+    """``[nb, B]`` index array covering ``n_mols`` in order; the final
+    batch wraps around to index 0 (rows past ``n_mols`` are dropped after
+    flattening, so the duplicates are never read)."""
+    nb = (n_mols + batch_size - 1) // batch_size
+    return (np.arange(nb * batch_size) % n_mols).astype(
+        np.int32).reshape(nb, batch_size)
+
+
+def _device_dataset(ds: MolecularDataset):
+    """Push the padded dataset arrays to the device once."""
     import jax.numpy as jnp
 
-    explain = make_gradient_explainer(graph_apply)
-    all_imp: List[np.ndarray] = []
-    preds: List[np.ndarray] = []
+    arrs = (jnp.asarray(ds.nodes), jnp.asarray(ds.edges),
+            jnp.asarray(ds.edge_mask), jnp.asarray(ds.node_mask))
+    return jax.block_until_ready(arrs)
+
+
+def quick_importance_analysis_all(ds: MolecularDataset, graph_apply,
+                                  scaler, batch_size: int = 64,
+                                  verbose: bool = True,
+                                  device_data=None) -> Dict:
+    """Stage 1: gradient importance + prediction for every molecule
+    (reference ``quick_importance_analysis_all``,
+    ``gnnexplainer.py:1402-1442``) as ONE jitted ``lax.scan`` dispatch
+    over the on-device dataset (VERDICT r2 next #3 — the round-2
+    per-batch loop paid a tunnel round-trip per 64 molecules), followed by
+    a single vectorized host post-process."""
+    import jax.numpy as jnp
+
+    explain_all = make_scan_gradient_explainer(graph_apply)
+    nodes_d, edges_d, emask_d, nmask_d = (
+        device_data if device_data is not None else _device_dataset(ds))
+    perm = jnp.asarray(_batch_perm(len(ds), batch_size))
     t0 = time.perf_counter()
-    for batch in ds.batches(batch_size):
-        raw, p = explain(jnp.asarray(batch.nodes), jnp.asarray(batch.edges),
-                         jnp.asarray(batch.edge_mask),
-                         jnp.asarray(batch.node_mask))
-        raw = np.asarray(raw)
-        p = np.asarray(p)
-        keep = np.asarray(batch.sample_mask) > 0
-        for i in np.nonzero(keep)[0]:
-            n_atoms = int(batch.node_mask[i].sum())
-            all_imp.append(process_node_importance(raw[i], n_atoms))
-        preds.append(p[keep])
-    preds = np.concatenate(preds)
+    raw, preds = jax.block_until_ready(
+        explain_all(nodes_d, edges_d, emask_d, nmask_d, perm))
+    raw = np.asarray(raw)[:len(ds)]
+    preds = np.asarray(preds)[:len(ds)]
+    num_atoms = ds.node_mask.sum(axis=1).astype(np.int64)
+    all_imp = process_node_importance_batch(raw, num_atoms)
     preds_denorm = scaler.inverse_transform(preds)
     if verbose:
         dt = time.perf_counter() - t0
@@ -133,8 +153,10 @@ def hybrid_analysis_strategy(
                           max_nodes=mn, max_edges=me, verbose=verbose)
 
     # ---- Stage 1: quick gradient pass over everything ----
+    device_data = _device_dataset(ds)
     info = quick_importance_analysis_all(ds, graph_apply, scaler,
-                                         batch_size, verbose)
+                                         batch_size, verbose,
+                                         device_data=device_data)
 
     # ---- Stage 2: representative selection ----
     if verbose:
@@ -149,23 +171,24 @@ def hybrid_analysis_strategy(
     detailed_importances: Dict[int, np.ndarray] = {}
     if use_gnnexplainer:
         try:
-            gexp = make_gnn_explainer(graph_apply)
-            sel_arr = np.asarray(selected)
-            for s in range(0, len(sel_arr), batch_size):
-                idxs = sel_arr[s:s + batch_size]
-                pad = batch_size - len(idxs)
-                take = np.concatenate([idxs, np.zeros(pad, int)]) \
-                    if pad else idxs
-                fm, em = gexp(jnp.asarray(ds.nodes[take]),
-                              jnp.asarray(ds.edges[take]),
-                              jnp.asarray(ds.edge_mask[take]),
-                              jnp.asarray(ds.node_mask[take]),
-                              jax.random.PRNGKey(42))
-                fm = np.asarray(fm)
-                for k, idx in enumerate(idxs):
-                    n_atoms = int(ds.node_mask[idx].sum())
-                    detailed_importances[int(idx)] = \
-                        process_node_importance(fm[k], n_atoms)
+            # one scan dispatch over the selection, indexing the SAME
+            # on-device dataset Stage 1 pushed (no re-upload); the final
+            # batch wraps cyclically and the duplicate rows are dropped
+            gexp = make_scan_gnn_explainer(graph_apply)
+            sel_arr = np.asarray(selected, dtype=np.int32)
+            nb = (len(sel_arr) + batch_size - 1) // batch_size
+            perm = np.resize(sel_arr, nb * batch_size).reshape(
+                nb, batch_size)
+            nodes_d, edges_d, emask_d, nmask_d = device_data
+            imps = jax.block_until_ready(
+                gexp(nodes_d, edges_d, emask_d, nmask_d,
+                     jnp.asarray(perm), jax.random.PRNGKey(42)))
+            imps = np.asarray(imps)[:len(sel_arr)]
+            num_atoms_sel = ds.node_mask[sel_arr].sum(axis=1).astype(
+                np.int64)
+            processed = process_node_importance_batch(imps, num_atoms_sel)
+            for k, idx in enumerate(sel_arr):
+                detailed_importances[int(idx)] = processed[k]
         except Exception as e:  # mirror reference's gradient fallback
             if verbose:
                 print(f"GNNExplainer failed ({e}); falling back to "

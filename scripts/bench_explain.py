@@ -1,7 +1,16 @@
-"""Benchmark the interpretability pipeline on the attached device
-(VERDICT r1 #9): Stage-1 batched gradient importance at full test-set
-scale (961 molecules) and Stage-3 GNNExplainer mask optimization at the
-200-molecule detailed scale, reported as molecules/sec.
+"""Benchmark the interpretability pipeline on the attached device:
+Stage-1 gradient importance at full test-set scale (961 molecules) and
+Stage-3 GNNExplainer mask optimization at the 200-molecule detailed
+scale, reported as molecules/sec.
+
+Round 3 (VERDICT r2 next #3): both stages now run as ONE jitted
+``lax.scan`` dispatch over the on-device dataset
+(``make_scan_gradient_explainer`` / ``make_scan_gnn_explainer``) instead
+of a Python loop paying one tunnel round-trip per 64-molecule batch —
+the structure the trainer and ``predict_dataset`` already had.  Timing
+follows the measured benchmark-hygiene rules: full warmup call first,
+then best-of-3 timed repeats (the first dispatch after a big compile
+absorbs relay settling).
 
 Reference point: the upstream pipeline runs BOTH stages one molecule at
 a time with a fresh forward+backward per molecule
@@ -24,8 +33,12 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from mgat_graphsage_tpu.data import MolecularDataset, TEST_CSV, load_csv  # noqa: E402
-from mgat_graphsage_tpu.explain.gradients import make_gradient_explainer  # noqa: E402
-from mgat_graphsage_tpu.explain.gnnexplainer import make_gnn_explainer  # noqa: E402
+from mgat_graphsage_tpu.explain.gradients import (  # noqa: E402
+    make_scan_gradient_explainer,
+    process_node_importance_batch,
+)
+from mgat_graphsage_tpu.explain.gnnexplainer import make_scan_gnn_explainer  # noqa: E402
+from mgat_graphsage_tpu.explain.pipeline import _batch_perm  # noqa: E402
 from mgat_graphsage_tpu.models import GATGraphSAGE  # noqa: E402
 from mgat_graphsage_tpu.ops import dense_adjacency  # noqa: E402
 
@@ -48,35 +61,53 @@ def main():
     def graph_apply(nodes, adj, node_mask):
         return module.apply({"params": params}, nodes, adj, node_mask)
 
-    def run_stage(explain, n, label, extra=()):
-        # warm/compile on the first batch
-        idx = np.arange(batch) % n_mol
-        args = (jnp.asarray(ds.nodes[idx]), jnp.asarray(ds.edges[idx]),
-                jnp.asarray(ds.edge_mask[idx]),
-                jnp.asarray(ds.node_mask[idx])) + extra
-        jax.block_until_ready(explain(*args))
-        t0 = time.perf_counter()
-        done = 0
-        while done < n:
-            take = np.arange(done, done + batch) % n_mol
-            args = (jnp.asarray(ds.nodes[take]),
-                    jnp.asarray(ds.edges[take]),
-                    jnp.asarray(ds.edge_mask[take]),
-                    jnp.asarray(ds.node_mask[take])) + extra
-            jax.block_until_ready(explain(*args))
-            done += batch
-        dt = time.perf_counter() - t0
-        rate = done / dt
-        print(f"[bench_explain] {label}: {done} molecules in {dt:.2f}s "
+    # dataset on device ONCE (what hybrid_analysis_strategy does)
+    dev = jax.block_until_ready(
+        (jnp.asarray(ds.nodes), jnp.asarray(ds.edges),
+         jnp.asarray(ds.edge_mask), jnp.asarray(ds.node_mask)))
+    nodes_d, edges_d, emask_d, nmask_d = dev
+    num_atoms = ds.node_mask.sum(axis=1).astype(np.int64)
+
+    def best_of(fn, n, label, repeats=3):
+        fn()  # warmup: compile + relay settling
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        rate = n / best
+        print(f"[bench_explain] {label}: {n} molecules in {best:.3f}s "
               f"-> {rate:,.0f} mol/s", file=sys.stderr)
         return rate
 
-    grad_explain = make_gradient_explainer(graph_apply)
-    s1 = run_stage(grad_explain, n_mol, "stage1 gradient importance")
+    # ---- Stage 1: one scan dispatch + vectorized host post-process ----
+    grad_all = make_scan_gradient_explainer(graph_apply)
+    perm1 = jnp.asarray(_batch_perm(n_mol, batch))
 
-    gexp = make_gnn_explainer(graph_apply)
-    s3 = run_stage(gexp, 200, "stage3 GNNExplainer (100-step mask opt)",
-                   extra=(jax.random.PRNGKey(42),))
+    def stage1():
+        raw, preds = jax.block_until_ready(
+            grad_all(nodes_d, edges_d, emask_d, nmask_d, perm1))
+        raw = np.asarray(raw)[:n_mol]
+        process_node_importance_batch(raw, num_atoms)
+
+    s1 = best_of(stage1, n_mol, "stage1 gradient importance (scan-fused)")
+
+    # ---- Stage 3: one scan dispatch over the 200-molecule selection ----
+    gexp = make_scan_gnn_explainer(graph_apply)
+    n_sel = 200
+    sel = np.linspace(0, n_mol - 1, n_sel).astype(np.int32)
+    nb = (n_sel + batch - 1) // batch
+    perm3 = jnp.asarray(np.resize(sel, nb * batch).reshape(nb, batch))
+
+    def stage3():
+        imps = jax.block_until_ready(
+            gexp(nodes_d, edges_d, emask_d, nmask_d, perm3,
+                 jax.random.PRNGKey(42)))
+        imps = np.asarray(imps)[:n_sel]
+        process_node_importance_batch(imps, num_atoms[sel])
+
+    s3 = best_of(stage3, nb * batch,
+                 "stage3 GNNExplainer (100-step mask opt, scan-fused)")
 
     result = {
         "backend": jax.default_backend(),

@@ -170,3 +170,62 @@ def test_figures_render(tmp_path):
         {"C": [0.2, 0.5, 0.9], "O": [0.7, 0.8], "N": [0.1]},
         str(tmp_path / "atoms.png"))
     assert os.path.getsize(p) > 10_000
+
+
+def test_scan_gradient_explainer_matches_per_batch():
+    """The scan-fused whole-dataset path (VERDICT r2 next #3) must produce
+    the same raw importances and predictions as the per-batch explainer,
+    including with a wrapped (padded) final batch."""
+    from mgat_graphsage_tpu.explain import make_scan_gradient_explainer
+    from mgat_graphsage_tpu.explain.pipeline import _batch_perm
+
+    smiles = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "c1ccncc1"]
+    nodes, edges, edge_mask, node_mask = _padded(smiles)
+    w = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (35, 1))
+    apply = _toy_graph_apply(w)
+
+    per_batch = make_gradient_explainer(apply)
+    raw_ref, preds_ref = per_batch(nodes, edges, edge_mask, node_mask)
+
+    scan = make_scan_gradient_explainer(apply)
+    perm = jnp.asarray(_batch_perm(len(smiles), 2))  # 3 batches, last wraps
+    raw, preds = scan(nodes, edges, edge_mask, node_mask, perm)
+    np.testing.assert_allclose(np.asarray(raw)[:5], np.asarray(raw_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(preds)[:5],
+                               np.asarray(preds_ref), rtol=1e-6, atol=1e-6)
+
+
+def test_process_node_importance_batch_matches_scalar():
+    from mgat_graphsage_tpu.explain import process_node_importance_batch
+
+    rng = np.random.default_rng(7)
+    raw = rng.uniform(0, 3, size=(6, 10))
+    raw[4] = 1.0                      # flat row -> 0.5 fallback
+    num_atoms = np.array([10, 3, 7, 1, 5, 0])
+    batch = process_node_importance_batch(raw, num_atoms)
+    for i in range(6):
+        ref = process_node_importance(raw[i, :num_atoms[i]], num_atoms[i])
+        np.testing.assert_allclose(batch[i], ref, err_msg=str(i))
+    assert batch[5].shape == (0,)
+
+
+def test_scan_gnn_explainer_shapes_and_masks():
+    """Scan-fused GNNExplainer: per-atom norms in perm order, padded atoms
+    zero, selection indices into the full on-device dataset."""
+    from mgat_graphsage_tpu.explain import make_scan_gnn_explainer
+
+    smiles = ["CCO", "CC(=O)O", "c1ccccc1", "CCN"]
+    nodes, edges, edge_mask, node_mask = _padded(smiles)
+    w = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (35, 1))
+    gexp = make_scan_gnn_explainer(_toy_graph_apply(w), epochs=10)
+    sel = np.array([2, 0, 3], dtype=np.int32)
+    perm = jnp.asarray(np.resize(sel, 4).reshape(2, 2))
+    imps = np.asarray(gexp(nodes, edges, edge_mask, node_mask, perm,
+                           jax.random.PRNGKey(1)))[:3]
+    assert imps.shape == (3, 24)
+    assert np.all(imps >= 0)
+    # row 0 is molecule 2 (benzene, 6 atoms); row 1 molecule 0 (CCO)
+    assert imps[0, 6:].sum() == 0
+    assert imps[1, 3:].sum() == 0
+    assert imps[0, :6].min() > 0
