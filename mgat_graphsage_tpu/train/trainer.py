@@ -523,6 +523,11 @@ class Trainer:
         save_best = save_best and is_primary
         verbose = verbose and is_primary
         log_path = self.log_path if is_primary else None
+        # per-epoch keys are fold_in(base, epoch) rather than sequential
+        # splits: a resumed run (start_epoch=k) then consumes the SAME
+        # permutation/dropout streams for epochs k.. as an uninterrupted
+        # run, making checkpoint-resume bit-deterministic
+        # (test_mesh_parity.py::test_mesh_checkpoint_round_trip)
         rng = jax.random.PRNGKey(cfg.seed + 1234)
         best_state = state
         best_metric = float("inf")
@@ -532,7 +537,7 @@ class Trainer:
         ckpt_path = os.path.join(self.ckpt_dir, "best_model.msgpack") \
             if self.ckpt_dir else None
         for epoch in range(start_epoch, epochs):
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(rng, epoch)
             state, tr = self.train_epoch(state, epoch, sub)
             row = {"epoch": epoch + 1, **tr}
             if self.val_ds is not None:

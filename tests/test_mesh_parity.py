@@ -109,3 +109,45 @@ def test_dp_mesh_matches_single_device():
     ev2 = t_mesh.evaluate(s2)
     np.testing.assert_allclose(ev1["pred"], ev2["pred"],
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_checkpoint_round_trip(tmp_path):
+    """Save under the 2-D DP x TP mesh mid-run, restore into a FRESH
+    trainer, continue — the continued epoch must equal the uninterrupted
+    run's (exercises ``Trainer.load``'s mesh re-shard and the
+    fold_in-per-epoch RNG stream that makes resume deterministic).
+    VERDICT r2 next #8."""
+    cfg = get_config("flagship", epochs=3, batch_size=8,
+                     eval_batch_size=8)
+    ds = MolecularDataset(SMILES, TARGETS, fit_scaler=cfg.scale_targets,
+                          fingerprint="ecfp1024", max_nodes=16,
+                          max_edges=32, verbose=False)
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+
+    # uninterrupted 3-epoch run
+    t_full = Trainer(cfg, ds, ds, mesh=mesh)
+    _, _, h_full = t_full.fit(verbose=False)
+
+    # 2 epochs, save a FULL (params + optimizer) checkpoint
+    t_a = Trainer(cfg, ds, ds, mesh=mesh)
+    state_a, _, h_a = t_a.fit(epochs=2, verbose=False)
+    for r_full, r_a in zip(h_full[:2], h_a):
+        assert r_full["train_loss"] == pytest.approx(
+            r_a["train_loss"], rel=1e-5)
+    path = str(tmp_path / "mid.msgpack")
+    t_a.save(path, state_a)
+
+    # fresh trainer restores (re-shards onto the mesh) and continues
+    t_b = Trainer(cfg, ds, ds, mesh=mesh)
+    restored, meta = t_b.load(path)
+    from jax.sharding import PartitionSpec as P
+    fc1 = restored.params["cnn"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == P(None, "model"), fc1.sharding
+    _, _, h_b = t_b.fit(epochs=3, state=restored, start_epoch=2,
+                        verbose=False)
+    assert len(h_b) == 1
+    assert h_b[0]["train_loss"] == pytest.approx(
+        h_full[2]["train_loss"], rel=1e-4, abs=1e-5)
+    assert h_b[0]["val_mse"] == pytest.approx(
+        h_full[2]["val_mse"], rel=1e-4, abs=1e-5)
