@@ -151,6 +151,22 @@ def build_models(seed: int = 42, fast: bool = False) -> Dict:
     return models
 
 
+def unavailable_boosters() -> List[str]:
+    """Reference leaderboard rows that cannot run in this environment
+    (``pycaret.py:279-285`` gates XGBoost/LightGBM/CatBoost on import;
+    VERDICT r2 next #9: the gap must be STATED in artifacts, not
+    silently omitted)."""
+    missing = []
+    for name, importer in (("XGBoost", "xgboost"),
+                           ("LightGBM", "lightgbm"),
+                           ("CatBoost", "catboost")):
+        try:
+            __import__(importer)
+        except ImportError:
+            missing.append(name)
+    return missing
+
+
 def comprehensive_modeling(
     X_train: np.ndarray, y_train: np.ndarray,
     X_test: np.ndarray, y_test: np.ndarray,
@@ -169,9 +185,15 @@ def comprehensive_modeling(
     from sklearn.preprocessing import StandardScaler
 
     models = build_models(seed=seed, fast=fast)
+    missing = unavailable_boosters()
     if verbose:
         print(f"Training and evaluating {len(models)} algorithms...")
+        if missing:
+            print(f"  NOTE: {', '.join(missing)} unavailable in this "
+                  f"environment — the reference's gated leaderboard rows "
+                  f"(pycaret.py:279-285) are reported as 'unavailable'")
     rows: List[Dict] = []
+    predictions: Dict[str, np.ndarray] = {}
     for i, (name, model) in enumerate(models.items(), 1):
         t0 = time.time()
         try:
@@ -182,7 +204,8 @@ def comprehensive_modeling(
             else:
                 xtr, xte = X_train, X_test
             model.fit(xtr, y_train)
-            pred = model.predict(xte)
+            pred = np.asarray(model.predict(xte), dtype=np.float64)
+            predictions[name] = pred
             mse = float(mean_squared_error(y_test, pred))
             mae = float(mean_absolute_error(y_test, pred))
             r, p = pearsonr(y_test, pred)
@@ -224,11 +247,38 @@ def comprehensive_modeling(
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir, "leaderboard.csv"), "w") as f:
-            cols = ["model", "rmse", "mse", "mae", "pearson_r", "r2",
-                    "cv_rmse", "train_time_s"]
+            cols = ["model", "status", "rmse", "mse", "mae", "pearson_r",
+                    "r2", "cv_rmse", "train_time_s"]
             f.write(",".join(cols) + "\n")
             for r in rows:
-                f.write(",".join(str(r[c]) for c in cols) + "\n")
+                f.write(",".join(str(r.get(c, "ok" if c == "status"
+                                           else "")) for c in cols) + "\n")
+            # state the environment gap instead of silently omitting the
+            # reference's gated rows (pycaret.py:279-285)
+            for name in missing:
+                f.write(",".join(
+                    [name, "unavailable in image"] + [""] * 7) + "\n")
+        # per-model prediction CSVs mirroring the reference's
+        # all/best prediction dumps (pycaret.py:408-447)
+        if rows and predictions:
+            names = [r["model"] for r in rows if r["model"] in predictions]
+            with open(os.path.join(
+                    output_dir, "all_models_predictions.csv"), "w") as f:
+                f.write(",".join(names + ["actual"]) + "\n")
+                for i in range(len(y_test)):
+                    f.write(",".join(
+                        [f"{predictions[n][i]:.6f}" for n in names]
+                        + [f"{float(y_test[i]):.6f}"]) + "\n")
+            best = names[0]
+            bp = predictions[best]
+            fname = ("best_model_predictions_"
+                     + best.lower().replace(" ", "_") + ".csv")
+            with open(os.path.join(output_dir, fname), "w") as f:
+                f.write("actual,predicted,residuals,abs_residuals\n")
+                for i in range(len(y_test)):
+                    resid = float(y_test[i]) - bp[i]
+                    f.write(f"{float(y_test[i]):.6f},{bp[i]:.6f},"
+                            f"{resid:.6f},{abs(resid):.6f}\n")
     return rows
 
 
