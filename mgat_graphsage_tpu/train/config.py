@@ -60,6 +60,16 @@ class TrainConfig:
     # stays f32 (preferred_element_type) and attention softmax runs f32.
     # Default float32 = reference-parity numerics.
     compute_dtype: str = "float32"
+    # Master parameter STORAGE dtype ("float32" | "bfloat16").  The
+    # opt-in "bfloat16" mode (requires compute_dtype="bfloat16") stores
+    # the ONE copy of the weights in bf16 and applies Adam updates with
+    # STOCHASTIC ROUNDING (unbiased: E[round(x)] = x, so the quantizer
+    # does not systematically zero small updates the way
+    # round-to-nearest would).  This removes the separate f32 master
+    # read+write and the bf16 working-copy write from the HBM-bound
+    # optimizer pass — the last big stream in the step roofline
+    # (docs/DESIGN.md; VERDICT r2 next #4).  Adam arithmetic stays f32.
+    master_dtype: str = "float32"
 
     @property
     def is_hybrid(self) -> bool:

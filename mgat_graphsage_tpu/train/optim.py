@@ -26,7 +26,38 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["torch_adam"]
+__all__ = ["torch_adam", "apply_updates_stochastic_round"]
+
+
+def _sr_to_bf16(x: jnp.ndarray, key) -> jnp.ndarray:
+    """Stochastically round f32 ``x`` to bf16: add uniform random bits to
+    the 16 truncated mantissa bits, then truncate.  Unbiased
+    (E[result] == x up to bf16 spacing), the standard formulation for
+    reduced-precision weight storage.  Works for both signs (IEEE
+    sign-magnitude: the carry propagates through the magnitude bits)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    noise = jax.random.bits(key, x.shape, jnp.uint16).astype(jnp.uint32)
+    hi = ((bits + noise) >> 16).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(hi, jnp.bfloat16)
+
+
+def apply_updates_stochastic_round(params, updates, key):
+    """``optax.apply_updates`` for bf16 master parameters: the f32 sum
+    ``p + u`` is stochastically rounded back to bf16 (round-to-nearest
+    would deterministically drop updates smaller than ~0.4% of the
+    weight — SR keeps them in expectation).  Non-bf16 leaves (if any)
+    are applied exactly."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    up_leaves = jax.tree_util.tree_leaves(updates)
+    assert len(leaves) == len(up_leaves)
+    out = []
+    for i, (p, u) in enumerate(zip(leaves, up_leaves)):
+        if p.dtype == jnp.bfloat16:
+            x = p.astype(jnp.float32) + u.astype(jnp.float32)
+            out.append(_sr_to_bf16(x, jax.random.fold_in(key, i)))
+        else:
+            out.append((p + u).astype(p.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def torch_adam(lr: float, weight_decay: float = 0.0, b1: float = 0.9,
@@ -52,7 +83,12 @@ def torch_adam(lr: float, weight_decay: float = 0.0, b1: float = 0.9,
         c2 = 1.0 - b2 ** cf
 
         def leaf(g, p, m, v):
-            g = g + weight_decay * p if weight_decay else g
+            # explicit f32: with bf16 master params AND bf16 grads the
+            # promotion rule would otherwise keep g*g in bf16 (8 mantissa
+            # bits).  Register-only cast — the HBM streams stay narrow.
+            g = g.astype(jnp.float32)
+            g = g + weight_decay * p.astype(jnp.float32) if weight_decay \
+                else g
             m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
             v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
             upd = (-lr) * (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)

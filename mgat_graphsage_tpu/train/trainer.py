@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+from .optim import apply_updates_stochastic_round
 from flax import struct
 from flax.core import unfreeze
 
@@ -121,6 +123,11 @@ class Trainer:
                  use_mesh: bool = False,
                  ckpt_dir: Optional[str] = None,
                  log_path: Optional[str] = None):
+        if cfg.master_dtype == "bfloat16" and \
+                cfg.compute_dtype != "bfloat16":
+            raise ValueError(
+                "master_dtype='bfloat16' requires compute_dtype="
+                "'bfloat16' (the bf16 master IS the compute copy)")
         self.cfg = cfg
         self.train_ds = train_ds
         self.val_ds = val_ds
@@ -158,6 +165,13 @@ class Trainer:
         # jit's not-yet-materialized outputs
         variables = jax.block_until_ready(variables)
         params = unfreeze(variables["params"])
+        if cfg.master_dtype == "bfloat16":
+            # bf16 master storage: init in f32 (flax default) then
+            # quantize ONCE; every later update is stochastically
+            # rounded (train/optim.py::apply_updates_stochastic_round)
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p, params)
         batch_stats = unfreeze(variables.get("batch_stats", {}))
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats,
@@ -208,6 +222,7 @@ class Trainer:
         # preferred_element_type in every layer).  Loss/KL/metrics and
         # gradients remain f32 (the cast's transpose upcasts).
         cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        master_bf16 = cfg.master_dtype == "bfloat16"
 
         def _cast_tree(t, dt):
             return jax.tree_util.tree_map(
@@ -292,7 +307,14 @@ class Trainer:
                                        batch, rng)
             updates, new_opt = tx.update(grads, state.opt_state,
                                          state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            if master_bf16:
+                # bf16 master + stochastic rounding: one bf16 param
+                # stream through Adam instead of f32 master read/write
+                # PLUS a bf16 copy write (train/config.py master_dtype)
+                new_params = apply_updates_stochastic_round(
+                    state.params, updates, jax.random.fold_in(rng, 0x5e))
+            else:
+                new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(step=state.step + 1,
                                       params=new_params,
                                       batch_stats=new_bs,

@@ -29,6 +29,12 @@ CONFIGS = {
     "bf16_moments": {"adam_moment_dtype": "bfloat16"},
     "bf16_full": {"adam_moment_dtype": "bfloat16",
                   "compute_dtype": "bfloat16"},
+    # round 3 (VERDICT r2 next #4): bf16 master params + stochastic
+    # rounding — removes the f32 master read/write and the bf16
+    # working-copy write from the Adam pass
+    "bf16_master_sr": {"adam_moment_dtype": "bfloat16",
+                       "compute_dtype": "bfloat16",
+                       "master_dtype": "bfloat16"},
 }
 # (a bf16 grad-storage variant measured identical to bf16_full —
 # 2.465 vs 2.471 ms/step — XLA already fuses backward into the

@@ -1,0 +1,90 @@
+"""Seed-repeat study: flagship f32 vs flagship_bf16 across 3 seeds
+(VERDICT r2 next #6 — the round-2 claim that the bf16 production config
+"reaches the same test metrics" rested on one run per config; this
+gives the claim error bars).
+
+Trains {flagship, flagship_bf16} x seeds {42, 43, 44} with the full
+reference recipe, evaluates each on the independent test split, and
+writes SEED_REPEAT.json {config: [per-seed metric rows]} plus a
+mean +/- spread summary to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+from mgat_graphsage_tpu.data import (  # noqa: E402
+    MolecularDataset, TEST_CSV, TRAIN_CSV, VAL_CSV, load_csv)
+from mgat_graphsage_tpu.eval.predict import predict_csv  # noqa: E402
+from mgat_graphsage_tpu.train import Trainer, get_config  # noqa: E402
+
+SEEDS = (42, 43, 44)
+PRESETS = ("flagship", "flagship_bf16")
+
+
+def run_one(preset: str, seed: int, epochs, ckpt_root: str):
+    cfg = get_config(preset, seed=seed)
+    if epochs is not None and cfg.epochs > epochs:
+        cfg = cfg.replace(epochs=epochs)
+    sm, y = load_csv(TRAIN_CSV)
+    vs, vy = load_csv(VAL_CSV)
+    train = MolecularDataset(sm, y, fit_scaler=True,
+                             fingerprint=cfg.fingerprint, verbose=False)
+    val = MolecularDataset(vs, vy, scaler=train.scaler,
+                           fingerprint=cfg.fingerprint,
+                           max_nodes=train.max_nodes,
+                           max_edges=train.max_edges, verbose=False)
+    ckpt_dir = os.path.join(ckpt_root, f"{preset}_seed{seed}")
+    trainer = Trainer(cfg, train, val, ckpt_dir=ckpt_dir)
+    t0 = time.time()
+    trainer.fit(verbose=False)
+    metrics, _ = predict_csv(os.path.join(ckpt_dir, "best_model.msgpack"),
+                             TEST_CSV, out_csv=None, verbose=False)
+    row = {"preset": preset, "seed": seed, "epochs": cfg.epochs,
+           "train_time_s": round(time.time() - t0, 1),
+           **{k: round(v, 4) if isinstance(v, float) else v
+              for k, v in metrics.items()}}
+    print(f"[seed_repeat] {json.dumps(row)}", file=sys.stderr, flush=True)
+    return row
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--ckpt-root", default="/tmp/seed_repeat_ckpts")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "SEED_REPEAT.json"))
+    args = ap.parse_args()
+
+    results = {}
+    for preset in PRESETS:
+        results[preset] = [run_one(preset, s, args.epochs, args.ckpt_root)
+                           for s in SEEDS]
+    summary = {}
+    for preset, rows in results.items():
+        for key in ("mse", "rmse", "pearson_r"):
+            vals = np.array([r[key] for r in rows])
+            summary[f"{preset}.{key}"] = {
+                "mean": round(float(vals.mean()), 4),
+                "std": round(float(vals.std(ddof=1)), 4),
+                "min": round(float(vals.min()), 4),
+                "max": round(float(vals.max()), 4),
+            }
+    out = {"seeds": list(SEEDS), "results": results, "summary": summary}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    for k, v in summary.items():
+        print(f"[seed_repeat] {k}: {v['mean']} +/- {v['std']} "
+              f"(range {v['min']}..{v['max']})", file=sys.stderr)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

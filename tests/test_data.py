@@ -147,3 +147,101 @@ def test_over_budget_molecules_dropped_consistently():
     for i, smi in enumerate(ds.smiles):
         from mgat_graphsage_tpu.chem import parse_smiles
         assert parse_smiles(smi).GetNumAtoms() == int(ds.node_mask[i].sum())
+
+
+def test_bucket_plan_routes_and_covers():
+    """Multi-bucket router (VERDICT r2 next #7): every molecule lands in
+    exactly one bucket — the smallest that fits — and bucket edge
+    budgets cover the members."""
+    from mgat_graphsage_tpu.data import MolecularDataset
+
+    smiles = ["C", "CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O",
+              "Cn1cnc2c1c(=O)n(C)c(=O)n2C",
+              "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+              "c1ccc2c(c1)cccc2-c1ccc2[nH]ccc2c1"]
+    ds = MolecularDataset(smiles, np.arange(len(smiles), dtype=np.float32),
+                          fingerprint=None, verbose=False)
+    plan = ds.bucket_plan(buckets=(4, 8, 16))
+    seen = np.concatenate([idx for _, _, idx in plan])
+    assert sorted(seen) == list(range(len(ds)))
+    n_atoms = ds.node_mask.sum(axis=1)
+    n_edges = ds.edge_mask.sum(axis=1)
+    prev_bn = 0
+    for bn, be, idx in plan:
+        assert bn > prev_bn
+        assert (n_atoms[idx] <= bn).all()
+        assert (n_atoms[idx] > prev_bn).all()   # smallest fitting bucket
+        assert (n_edges[idx] <= be).all()
+        assert be <= ds.max_edges
+        prev_bn = bn
+    assert plan[-1][0] <= ds.max_nodes
+
+
+def test_bucketed_batches_match_full_padding():
+    """Sliced bucket arrays must carry exactly the same molecule data as
+    the globally padded arrays, and all molecules appear exactly once
+    (with final-batch padding masked out)."""
+    from mgat_graphsage_tpu.data import MolecularDataset
+
+    smiles = ["C", "CCO", "CCN", "c1ccccc1", "c1ccncc1", "CCCC",
+              "CC(=O)Oc1ccccc1C(=O)O", "CC(C)Cc1ccc(cc1)C(C)C(=O)O"]
+    ds = MolecularDataset(smiles, np.arange(len(smiles), dtype=np.float32),
+                          fingerprint=None, verbose=False)
+    seen = []
+    for batch in ds.bucketed_batches(batch_size=3, buckets=(4, 8)):
+        bn = batch.nodes.shape[1]
+        for j in range(batch.nodes.shape[0]):
+            if batch.sample_mask[j] == 0:
+                continue
+            y = float(batch.y_orig[j])
+            i = int(round(y))
+            seen.append(i)
+            na = int(ds.node_mask[i].sum())
+            assert na <= bn
+            np.testing.assert_array_equal(batch.nodes[j, :na],
+                                          ds.nodes[i, :na])
+            np.testing.assert_array_equal(batch.node_mask[j],
+                                          ds.node_mask[i, :bn])
+            ne = int(ds.edge_mask[i].sum())
+            np.testing.assert_array_equal(batch.edges[j, :, :ne],
+                                          ds.edges[i, :, :ne])
+    assert sorted(seen) == list(range(len(ds)))
+
+
+def test_bucketed_batches_forward_equivalence():
+    """A model forward on bucket-sliced arrays equals the forward on the
+    globally padded arrays (masking makes padding width irrelevant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgat_graphsage_tpu.data import MolecularDataset
+    from mgat_graphsage_tpu.models import GATGraphSAGE
+    from mgat_graphsage_tpu.ops import dense_adjacency
+
+    smiles = ["CCO", "c1ccccc1", "CC(=O)O", "CCN",
+              "CC(=O)Oc1ccccc1C(=O)O", "c1ccncc1"]
+    ds = MolecularDataset(smiles, np.arange(len(smiles), dtype=np.float32),
+                          fingerprint=None, verbose=False)
+    module = GATGraphSAGE()
+
+    def fwd(nodes, edges, edge_mask, node_mask, params):
+        adj = dense_adjacency(jnp.asarray(edges), jnp.asarray(edge_mask),
+                              nodes.shape[1])
+        return module.apply({"params": params}, jnp.asarray(nodes), adj,
+                            jnp.asarray(node_mask))
+
+    adj0 = dense_adjacency(jnp.asarray(ds.edges), jnp.asarray(ds.edge_mask),
+                           ds.max_nodes)
+    params = module.init(jax.random.PRNGKey(0), jnp.asarray(ds.nodes),
+                         adj0, jnp.asarray(ds.node_mask))["params"]
+    full = np.asarray(fwd(ds.nodes, ds.edges, ds.edge_mask, ds.node_mask,
+                          params)).reshape(-1)
+    for batch in ds.bucketed_batches(batch_size=4, buckets=(6, 12)):
+        out = np.asarray(fwd(batch.nodes, batch.edges, batch.edge_mask,
+                             batch.node_mask, params)).reshape(-1)
+        for j in range(len(out)):
+            if batch.sample_mask[j] == 0:
+                continue
+            i = int(round(float(batch.y_orig[j])))
+            np.testing.assert_allclose(out[j], full[i], rtol=2e-5,
+                                       atol=2e-6)

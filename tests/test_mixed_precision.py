@@ -86,3 +86,66 @@ def test_bf16_training_converges(fp_data):
         losses.append(m["train_loss"])
     assert all(np.isfinite(l) for l in losses), losses
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_stochastic_rounding_unbiased_and_accumulates():
+    """bf16 master storage (master_dtype='bfloat16', VERDICT r2 next #4):
+    SR must be unbiased, and updates far below the bf16 spacing must
+    still accumulate in expectation (round-to-nearest would drop them)."""
+    from mgat_graphsage_tpu.train.optim import (
+        _sr_to_bf16,
+        apply_updates_stochastic_round,
+    )
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(64,)).astype(np.float32) * 0.01)
+    acc = np.zeros(64, np.float64)
+    reps = 600
+    for k in range(reps):
+        acc += np.asarray(_sr_to_bf16(x, jax.random.PRNGKey(k)).astype(
+            jnp.float32), dtype=np.float64)
+    err = np.abs(acc / reps - np.asarray(x, np.float64))
+    spacing = np.abs(np.asarray(x)) * 2.0 ** -8 + 1e-12
+    assert (err < 0.25 * spacing + 1e-9).all()
+
+    # p = 1.0, u = 1e-4: |u| ~ spacing/39, invisible to RTN
+    p = {"w": jnp.full((1000,), 1.0, jnp.bfloat16)}
+    u = {"w": jnp.full((1000,), 1e-4, jnp.float32)}
+    cur = p
+    for k in range(100):
+        cur = apply_updates_stochastic_round(cur, u, jax.random.PRNGKey(k))
+    mean = float(np.asarray(cur["w"].astype(jnp.float32)).mean())
+    assert 1.005 < mean < 1.015, mean
+
+
+def test_bf16_master_training_converges(fp_data):
+    cfg = get_config("flagship", epochs=4, batch_size=32,
+                     compute_dtype="bfloat16",
+                     adam_moment_dtype="bfloat16",
+                     master_dtype="bfloat16")
+    trainer = Trainer(cfg, fp_data, fp_data)
+    state = trainer.init_state()
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for e in range(cfg.epochs):
+        rng, sub = jax.random.split(rng)
+        state, m = trainer.train_epoch(state, e, sub)
+        losses.append(m["train_loss"])
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0] * 0.9, losses
+    # params stayed bf16 through the fused epoch scan
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert leaf.dtype == jnp.bfloat16
+    # eval path works on the bf16 master
+    ev = trainer.evaluate(state)
+    assert np.isfinite(ev["val_mse"])
+
+
+def test_bf16_master_requires_bf16_compute(fp_data):
+    import pytest as _pytest
+
+    cfg = get_config("flagship", master_dtype="bfloat16")
+    with _pytest.raises(ValueError, match="master_dtype"):
+        Trainer(cfg, fp_data, None)
