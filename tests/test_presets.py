@@ -73,6 +73,7 @@ HYPERPARAM_TABLE = {
     "flagship":      _FLAG,
     "flagship_flat": _FLAG,
     "flagship_bf16": _FLAG,
+    "flagship_bf16sr": _FLAG,
     "model6":        _FLAG,
     "model1": (1e-4, 0.0, 0.0, 64, 32, 1000, 0.2, False, "val_mse"),
     "model2": (5e-3, 0.0, 0.0, 128, 64, 1000, 0.2, False, "val_mse"),
