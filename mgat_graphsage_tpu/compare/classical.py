@@ -131,6 +131,14 @@ def build_models(seed: int = 42, fast: bool = False) -> Dict:
                                       max_subpopulation=50 if fast
                                       else 1000),
     }
+    # The reference's LightGBM row (pycaret.py:279-285) cannot run here
+    # (wheel absent); sklearn's histogram-GBDT is the same algorithm
+    # class (explicitly modeled on LightGBM) and stands in for it as a
+    # clearly-labeled row so the leaderboard covers the boosting family
+    # the gated imports would have provided.
+    from sklearn.ensemble import HistGradientBoostingRegressor
+    models["Hist Gradient Boosting (LightGBM-class stand-in)"] = (
+        HistGradientBoostingRegressor(max_iter=n_est, random_state=seed))
     for name, importer in (
             ("XGBoost", "xgboost"), ("LightGBM", "lightgbm"),
             ("CatBoost", "catboost")):
@@ -256,8 +264,10 @@ def comprehensive_modeling(
             # state the environment gap instead of silently omitting the
             # reference's gated rows (pycaret.py:279-285)
             for name in missing:
-                f.write(",".join(
-                    [name, "unavailable in image"] + [""] * 7) + "\n")
+                note = ("unavailable in image"
+                        + ("; see Hist Gradient Boosting stand-in row"
+                           if name == "LightGBM" else ""))
+                f.write(",".join([name, note] + [""] * 7) + "\n")
         # per-model prediction CSVs mirroring the reference's
         # all/best prediction dumps (pycaret.py:408-447)
         if rows and predictions:
