@@ -58,3 +58,23 @@ def test_charged_and_isotope_tokens():
     m2 = parse_smiles(w)
     assert any(a.isotope == 13 for a in m2.GetAtoms())
     assert any(a.GetFormalCharge() == -1 for a in m2.GetAtoms())
+
+
+def test_roundtrip_bundled_dataset_sample():
+    """Round-trip a sample of the frozen splits with a stronger
+    equality: the written form must re-parse to the identical Morgan
+    fingerprint (graph + aromaticity + H-count canonicalization), the
+    check the full-dataset audit runs over all 4,461 rows."""
+    import random
+
+    import numpy as np
+
+    from mgat_graphsage_tpu.chem.fingerprints import morgan_fingerprint
+    from mgat_graphsage_tpu.data import TRAIN_CSV, load_csv
+
+    sm, _ = load_csv(TRAIN_CSV)
+    for s in random.Random(7).sample(list(sm), 150):
+        m1 = parse_smiles(s)
+        m2 = parse_smiles(mol_to_smiles(m1))
+        assert np.array_equal(
+            morgan_fingerprint(m1), morgan_fingerprint(m2)), s
