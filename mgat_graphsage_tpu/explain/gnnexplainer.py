@@ -38,6 +38,63 @@ def _entropy(p: jnp.ndarray, eps: float = 1e-15) -> jnp.ndarray:
     return -(p * jnp.log(p) + (1 - p) * jnp.log(1 - p))
 
 
+def _optimize_masks(graph_apply: Callable, tx, epochs: int, nodes,
+                    edges, edge_mask, node_mask, rng
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The mask optimization shared by the one-batch and the scan-fused
+    explainers (single source of truth — the production scan path and
+    the tested one-batch path cannot drift): sigmoid-parameterized
+    feature [B, N, F] and edge [B, E] masks, PyG N(0, 0.1) init,
+    Adam(lr), ``epochs`` steps via ``lax.scan``.  Traced code — callers
+    jit it."""
+    b, n, f = nodes.shape
+    e = edges.shape[-1]
+    target = graph_apply(
+        nodes, dense_adjacency(edges, edge_mask, n), node_mask)
+
+    k1, k2 = jax.random.split(rng)
+    # PyG init: N(0, 0.1) for both masks
+    params = {
+        "feat": 0.1 * jax.random.normal(k1, (b, n, f)),
+        "edge": 0.1 * jax.random.normal(k2, (b, e)),
+    }
+
+    def loss_fn(p):
+        fm = jax.nn.sigmoid(p["feat"])
+        em = jax.nn.sigmoid(p["edge"])
+        masked_nodes = nodes * fm
+        # scatter path: the learned edge mask is DIFFERENTIATED here,
+        # and the Pallas builder defines no VJP
+        adj = dense_adjacency(edges, edge_mask * em, n,
+                              use_pallas=False)
+        pred = graph_apply(masked_nodes, adj, node_mask)
+        mse = ((pred - target) ** 2).sum()
+        valid_e = edge_mask
+        return (
+            mse
+            + _COEFFS["edge_size"] * (em * valid_e).sum()
+            + _COEFFS["edge_ent"] * (_entropy(em) * valid_e).mean()
+            + _COEFFS["node_feat_size"]
+            * (fm * node_mask[..., None]).mean()
+            + _COEFFS["node_feat_ent"]
+            * (_entropy(fm) * node_mask[..., None]).mean()
+        )
+
+    opt_state = tx.init(params)
+
+    def step(carry, _):
+        p, s = carry
+        grads = jax.grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), None
+
+    (params, _), _ = jax.lax.scan(step, (params, opt_state),
+                                  None, length=epochs)
+    return (jax.nn.sigmoid(params["feat"]) * node_mask[..., None],
+            jax.nn.sigmoid(params["edge"]) * edge_mask)
+
+
 def make_gnn_explainer(graph_apply: Callable, epochs: int = 100,
                        lr: float = 0.01) -> Callable:
     """Build a jitted batched GNNExplainer.
@@ -50,53 +107,8 @@ def make_gnn_explainer(graph_apply: Callable, epochs: int = 100,
 
     @jax.jit
     def explain(nodes, edges, edge_mask, node_mask, rng):
-        b, n, f = nodes.shape
-        e = edges.shape[-1]
-        target = graph_apply(
-            nodes, dense_adjacency(edges, edge_mask, n), node_mask)
-
-        k1, k2 = jax.random.split(rng)
-        # PyG init: N(0, 0.1) for both masks
-        params = {
-            "feat": 0.1 * jax.random.normal(k1, (b, n, f)),
-            "edge": 0.1 * jax.random.normal(k2, (b, e)),
-        }
-
-        def loss_fn(p):
-            fm = jax.nn.sigmoid(p["feat"])
-            em = jax.nn.sigmoid(p["edge"])
-            masked_nodes = nodes * fm
-            # scatter path: the learned edge mask is DIFFERENTIATED here,
-            # and the Pallas builder defines no VJP
-            adj = dense_adjacency(edges, edge_mask * em, n,
-                                  use_pallas=False)
-            pred = graph_apply(masked_nodes, adj, node_mask)
-            mse = ((pred - target) ** 2).sum()
-            valid_e = edge_mask
-            loss = (
-                mse
-                + _COEFFS["edge_size"] * (em * valid_e).sum()
-                + _COEFFS["edge_ent"] * (_entropy(em) * valid_e).mean()
-                + _COEFFS["node_feat_size"]
-                * (fm * node_mask[..., None]).mean()
-                + _COEFFS["node_feat_ent"]
-                * (_entropy(fm) * node_mask[..., None]).mean()
-            )
-            return loss
-
-        opt_state = tx.init(params)
-
-        def step(carry, _):
-            p, s = carry
-            grads = jax.grad(loss_fn)(p)
-            updates, s = tx.update(grads, s, p)
-            p = optax.apply_updates(p, updates)
-            return (p, s), None
-
-        (params, _), _ = jax.lax.scan(step, (params, opt_state),
-                                      None, length=epochs)
-        return (jax.nn.sigmoid(params["feat"]) * node_mask[..., None],
-                jax.nn.sigmoid(params["edge"]) * edge_mask)
+        return _optimize_masks(graph_apply, tx, epochs, nodes, edges,
+                               edge_mask, node_mask, rng)
 
     return explain
 
@@ -119,58 +131,13 @@ def make_scan_gnn_explainer(graph_apply: Callable, epochs: int = 100,
 
     @jax.jit
     def explain_all(nodes, edges, edge_mask, node_mask, perm, rng):
-        n = nodes.shape[1]
-        e = edges.shape[-1]
-        f = nodes.shape[-1]
-        b = perm.shape[1]
         keys = jax.random.split(rng, perm.shape[0])
 
         def body(carry, inp):
             idx, key = inp
-            nb = nodes[idx]
-            ed = edges[idx]
-            em_valid = edge_mask[idx]
-            nm = node_mask[idx]
-            target = graph_apply(nb, dense_adjacency(ed, em_valid, n), nm)
-
-            k1, k2 = jax.random.split(key)
-            params = {
-                "feat": 0.1 * jax.random.normal(k1, (b, n, f)),
-                "edge": 0.1 * jax.random.normal(k2, (b, e)),
-            }
-
-            def loss_fn(p):
-                fm = jax.nn.sigmoid(p["feat"])
-                em = jax.nn.sigmoid(p["edge"])
-                masked_nodes = nb * fm
-                # scatter path: the learned edge mask is DIFFERENTIATED
-                # here, and the Pallas builder defines no VJP
-                adj = dense_adjacency(ed, em_valid * em, n,
-                                      use_pallas=False)
-                pred = graph_apply(masked_nodes, adj, nm)
-                mse = ((pred - target) ** 2).sum()
-                return (
-                    mse
-                    + _COEFFS["edge_size"] * (em * em_valid).sum()
-                    + _COEFFS["edge_ent"] * (_entropy(em) * em_valid).mean()
-                    + _COEFFS["node_feat_size"]
-                    * (fm * nm[..., None]).mean()
-                    + _COEFFS["node_feat_ent"]
-                    * (_entropy(fm) * nm[..., None]).mean()
-                )
-
-            opt_state = tx.init(params)
-
-            def step(c, _):
-                p, s = c
-                grads = jax.grad(loss_fn)(p)
-                updates, s = tx.update(grads, s, p)
-                p = optax.apply_updates(p, updates)
-                return (p, s), None
-
-            (params, _), _ = jax.lax.scan(step, (params, opt_state),
-                                          None, length=epochs)
-            fm = jax.nn.sigmoid(params["feat"]) * nm[..., None]
+            fm, _ = _optimize_masks(graph_apply, tx, epochs, nodes[idx],
+                                    edges[idx], edge_mask[idx],
+                                    node_mask[idx], key)
             return carry, jnp.linalg.norm(fm, axis=-1)     # [B, N]
 
         _, imps = jax.lax.scan(body, None, (perm, keys))

@@ -74,6 +74,24 @@ def process_node_importance_batch(raw: np.ndarray,
     return [scaled[i, :num_atoms[i]] for i in range(m)]
 
 
+def _batch_importance(graph_apply: Callable, nodes, edges, edge_mask,
+                      node_mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The gradient-importance math shared by the one-batch and the
+    scan-fused explainers (single source of truth): per-atom L2 norm of
+    d(pred)/d(x) plus the predictions.  Traced code — callers jit it."""
+    adj = dense_adjacency(edges, edge_mask, nodes.shape[1])
+
+    def scalar_sum(x):
+        # d(sum_b pred_b)/dx gives each molecule's own gradient since
+        # predictions are independent across the batch
+        return graph_apply(x, adj, node_mask).sum()
+
+    grads = jax.grad(scalar_sum)(nodes)                # [B, N, F]
+    raw = jnp.linalg.norm(grads, axis=-1) * node_mask  # [B, N]
+    preds = graph_apply(nodes, adj, node_mask).reshape(-1)
+    return raw, preds
+
+
 def make_gradient_explainer(graph_apply: Callable) -> Callable:
     """Build a jitted batched gradient explainer.
 
@@ -88,17 +106,8 @@ def make_gradient_explainer(graph_apply: Callable) -> Callable:
 
     @jax.jit
     def explain(nodes, edges, edge_mask, node_mask):
-        adj = dense_adjacency(edges, edge_mask, nodes.shape[1])
-
-        def scalar_sum(x):
-            # d(sum_b pred_b)/dx gives each molecule's own gradient since
-            # predictions are independent across the batch
-            return graph_apply(x, adj, node_mask).sum()
-
-        grads = jax.grad(scalar_sum)(nodes)              # [B, N, F]
-        raw = jnp.linalg.norm(grads, axis=-1) * node_mask  # [B, N]
-        preds = graph_apply(nodes, adj, node_mask).reshape(-1)
-        return raw, preds
+        return _batch_importance(graph_apply, nodes, edges, edge_mask,
+                                 node_mask)
 
     return explain
 
@@ -119,22 +128,10 @@ def make_scan_gradient_explainer(graph_apply: Callable) -> Callable:
 
     @jax.jit
     def explain_all(nodes, edges, edge_mask, node_mask, perm):
-        n_max = nodes.shape[1]
-
         def body(carry, idx):
-            nb = nodes[idx]
-            nm = node_mask[idx]
-            adj = dense_adjacency(edges[idx], edge_mask[idx], n_max)
-
-            def scalar_sum(x):
-                # d(sum_b pred_b)/dx is each molecule's own gradient:
-                # predictions are independent across the batch
-                return graph_apply(x, adj, nm).sum()
-
-            grads = jax.grad(scalar_sum)(nb)                 # [B, N, F]
-            raw = jnp.linalg.norm(grads, axis=-1) * nm       # [B, N]
-            preds = graph_apply(nb, adj, nm).reshape(-1)     # [B]
-            return carry, (raw, preds)
+            return carry, _batch_importance(
+                graph_apply, nodes[idx], edges[idx], edge_mask[idx],
+                node_mask[idx])
 
         _, (raws, preds) = jax.lax.scan(body, None, perm)
         nb_, b_, n_ = raws.shape
