@@ -341,6 +341,35 @@ class MolecularDataset:
             plan.append((bn, be, idx))
         return plan
 
+    def bucket_view(self, bucket_nodes: int, bucket_edges: int,
+                    idx: np.ndarray) -> "MolecularDataset":
+        """A dataset restricted to ``idx`` and trimmed to a bucket's
+        ``(bucket_nodes, bucket_edges)`` budget — pure array slicing of
+        the already-featurized arrays (no re-parse/re-featurize), so a
+        per-bucket training or serving program costs only its compile.
+        Valid edge indices are < n_atoms <= bucket_nodes by
+        ``bucket_plan`` construction; trimmed tails are padding only.
+        """
+        idx = np.asarray(idx, dtype=np.int64)
+        ds = object.__new__(MolecularDataset)
+        ds.smiles = [self.smiles[i] for i in idx]
+        ds.kept_indices = self.kept_indices[idx]
+        ds.y_orig = self.y_orig[idx]
+        ds.scaler = self.scaler
+        ds.y = self.y[idx]
+        ds.max_nodes = int(bucket_nodes)
+        ds.max_edges = int(bucket_edges)
+        ds.feature_dim = self.feature_dim
+        ds.fp_dim = self.fp_dim
+        ds.fingerprint = self.fingerprint
+        ds.nodes = self.nodes[idx][:, :bucket_nodes]
+        ds.edges = self.edges[idx][:, :, :bucket_edges]
+        ds.node_mask = self.node_mask[idx][:, :bucket_nodes]
+        ds.edge_mask = self.edge_mask[idx][:, :bucket_edges]
+        ds.fp = self.fp[idx]
+        ds.n = int(idx.size)
+        return ds
+
     def bucketed_batches(self, batch_size: int,
                          buckets: Tuple[int, ...] = (32, 48, 64, 96),
                          shuffle: bool = False, seed: int = 0,

@@ -57,12 +57,8 @@ def run_preset(name, sm, y):
     t_buckets = 0.0
     pops = []
     for bn, be, idx in plan:
-        sub_sm = [full.smiles[i] for i in idx]
-        sub_y = full.y_orig[idx]
-        sub = MolecularDataset(sub_sm, sub_y, scaler=full.scaler,
-                               fingerprint=cfg.fingerprint,
-                               featurizer=cfg.featurizer,
-                               max_nodes=bn, max_edges=be, verbose=False)
+        # array-slice view of the featurized dataset (no re-parse)
+        sub = full.bucket_view(bn, be, idx)
         t_b = time_epochs(Trainer(cfg, sub, None))
         t_buckets += t_b
         pops.append({"nodes": int(bn), "edges": int(be),

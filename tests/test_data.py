@@ -245,3 +245,33 @@ def test_bucketed_batches_forward_equivalence():
             i = int(round(float(batch.y_orig[j])))
             np.testing.assert_allclose(out[j], full[i], rtol=2e-5,
                                        atol=2e-6)
+
+
+def test_bucket_view_matches_refeaturized_subset():
+    """bucket_view must equal building a fresh dataset from the bucket's
+    SMILES at the bucket budget — pure slicing, no re-featurization."""
+    from mgat_graphsage_tpu.data import MolecularDataset
+
+    smiles = ["C", "CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O",
+              "Cn1cnc2c1c(=O)n(C)c(=O)n2C",
+              "CC(C)Cc1ccc(cc1)C(C)C(=O)O"]
+    y = np.arange(len(smiles), dtype=np.float32)
+    full = MolecularDataset(smiles, y, fit_scaler=True,
+                            fingerprint="ecfp1024", verbose=False)
+    for bn, be, idx in full.bucket_plan(buckets=(4, 8, 16)):
+        view = full.bucket_view(bn, be, idx)
+        fresh = MolecularDataset([smiles[i] for i in idx], y[idx],
+                                 scaler=full.scaler,
+                                 fingerprint="ecfp1024",
+                                 max_nodes=bn, max_edges=be,
+                                 verbose=False)
+        assert len(view) == len(fresh) == idx.size
+        assert view.max_nodes == fresh.max_nodes == bn
+        assert view.max_edges == fresh.max_edges == be
+        np.testing.assert_array_equal(view.nodes, fresh.nodes)
+        np.testing.assert_array_equal(view.edges, fresh.edges)
+        np.testing.assert_array_equal(view.node_mask, fresh.node_mask)
+        np.testing.assert_array_equal(view.edge_mask, fresh.edge_mask)
+        np.testing.assert_array_equal(view.fp, fresh.fp)
+        np.testing.assert_allclose(view.y, fresh.y, rtol=1e-6)
+        assert view.smiles == fresh.smiles
