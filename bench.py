@@ -136,12 +136,18 @@ def bench_tpu(ds) -> float:
     # weight/activation storage + bf16 Adam moments, f32 master params and
     # gradients).  `flagship_bf16` trains to the same test metrics as the
     # f32-parity `flagship` (RESULTS.md); BENCH_PARITY=1 times the strict
-    # parity config instead.
-    preset = ("flagship" if os.environ.get("BENCH_PARITY", "0") == "1"
-              else "flagship_bf16")
+    # parity config instead.  NOT flagship_bf16sr: bf16 master params +
+    # stochastic rounding measured SLOWER (3.13 vs 2.20 ms/step,
+    # BENCH_STEP.json) — the SR PRNG + round-trip casts cost more than
+    # the saved f32 parameter traffic; it remains an opt-in
+    # HBM-capacity mode, not a throughput mode.
+    preset = os.environ.get("BENCH_PRESET") or (
+        "flagship" if os.environ.get("BENCH_PARITY", "0") == "1"
+        else "flagship_bf16")
     cfg = get_config(preset, batch_size=BATCH_SIZE)
     log(f"[bench] preset {preset}: compute_dtype={cfg.compute_dtype}, "
-        f"adam_moment_dtype={cfg.adam_moment_dtype}")
+        f"adam_moment_dtype={cfg.adam_moment_dtype}, "
+        f"master_dtype={cfg.master_dtype}")
     trainer = Trainer(cfg, ds, None)
     state = trainer.init_state()
     rng = jax.random.PRNGKey(0)

@@ -6,7 +6,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-ORDER = ["flagship", "flagship_bf16", "flagship_flat", "model1", "model2", "model3", "model4", "model5",
+ORDER = ["flagship", "flagship_bf16", "flagship_bf16sr", "flagship_flat", "model1", "model2", "model3", "model4", "model5",
          "gcn", "graphsage", "gat", "gat_gcn", "gin", "chebnet",
          "morgan1024", "morgan2048", "ecfp2048", "fcfp", "maccs",
          "smifp", "bci"]
@@ -14,6 +14,7 @@ ORDER = ["flagship", "flagship_bf16", "flagship_flat", "model1", "model2", "mode
 DESC = {
     "flagship": "hybrid M-GAT-GraphSAGE + ECFP-CNN + KL (reference train.py)",
     "flagship_bf16": "flagship in the bf16 mixed-precision production config",
+    "flagship_bf16sr": "flagship w/ bf16 master params + stochastic rounding (max-throughput HBM config)",
     "flagship_flat": "flagship with the reference's batch-global attention quirk",
     "model1": "ablation 1: PyG-style GAT(h=10)+SAGE, dual pool",
     "model2": "ablation 2: ModifiedGAT w/o +V residual",
