@@ -44,7 +44,15 @@ from mgat_graphsage_tpu.ops import dense_adjacency  # noqa: E402
 
 
 def main():
-    batch = 64
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64,
+                    help="scan body batch for both stages")
+    ap.add_argument("--no-write", action="store_true",
+                    help="don't write BENCH_EXPLAIN.json (sweep mode)")
+    args = ap.parse_args()
+    batch = args.batch
     sm, y = load_csv(TEST_CSV)
     ds = MolecularDataset(sm, y, fingerprint=None, verbose=False)
     n_mol = len(ds)
@@ -112,11 +120,12 @@ def main():
     result = {
         "backend": jax.default_backend(),
         "n_molecules": n_mol,
+        "batch": batch,
         "stage1_gradient_mol_per_s": round(s1, 1),
         "stage3_gnnexplainer_mol_per_s": round(s3, 1),
     }
     print(json.dumps(result, indent=2))
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not args.no_write:
         out = os.path.join(os.path.dirname(__file__), "..",
                            "BENCH_EXPLAIN.json")
         with open(out, "w") as fh:

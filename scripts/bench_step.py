@@ -82,6 +82,8 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--n-molecules", type=int, default=2048)
+    ap.add_argument("--extra-batch-sizes", type=int, nargs="*",
+                    default=[])
     ap.add_argument("--out", default="BENCH_STEP.json")
     args = ap.parse_args()
 
@@ -91,6 +93,12 @@ def main():
                           verbose=False)
     rows = [bench_config(name, ov, ds, args.batch_size, args.steps)
             for name, ov in CONFIGS.items()]
+    # throughput scaling beyond the reference's bs 128: amortizes the
+    # (HBM-bound) optimizer pass over more molecules per step
+    for bs in args.extra_batch_sizes:
+        rows.append(bench_config(f"bf16_full_bs{bs}",
+                                 CONFIGS["bf16_full"], ds, bs,
+                                 args.steps))
     out = {"device": jax.devices()[0].device_kind, "rows": rows}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
