@@ -60,6 +60,39 @@ def main(results_path="RESULTS.json", out_path="RESULTS.md"):
             f"| {name} |  | {r['epochs']} | {r['train_time_s']:.0f}s | "
             f"{r['mse']:.4f} | {r['rmse']:.4f} | {r['mae']:.4f} | "
             f"{r['pearson_r']:.4f} | {r['r2']:.4f} |")
+    seed_path = os.path.join(os.path.dirname(results_path) or ".",
+                             "SEED_REPEAT.json")
+    if os.path.exists(seed_path):
+        sr = json.load(open(seed_path))
+        lines += [
+            "",
+            "## Seed-repeat study (f32 vs bf16 production config)",
+            "",
+            f"Full reference recipe, seeds {sr['seeds']} "
+            "(`scripts/seed_repeat.py`, SEED_REPEAT.json):",
+            "",
+            "| config | test MSE | RMSE | Pearson r |",
+            "|---|---|---|---|",
+        ]
+        for preset in ("flagship", "flagship_bf16"):
+            cells = []
+            for key in ("mse", "rmse", "pearson_r"):
+                s = sr["summary"][f"{preset}.{key}"]
+                cells.append(f"{s['mean']:.4f} ± {s['std']:.4f}")
+            lines.append(f"| {preset} | " + " | ".join(cells) + " |")
+        m_f32 = sr["summary"]["flagship.mse"]
+        m_bf16 = sr["summary"]["flagship_bf16.mse"]
+        overlap = (m_f32["min"] <= m_bf16["max"]
+                   and m_bf16["min"] <= m_f32["max"])
+        lines.append(
+            "\nThe per-seed ranges "
+            f"({m_f32['min']}–{m_f32['max']} f32 vs "
+            f"{m_bf16['min']}–{m_bf16['max']} bf16) "
+            + ("overlap: the bf16 production config is metric-neutral "
+               "within run-to-run variance."
+               if overlap else
+               "do NOT overlap: the bf16 config shifts test MSE "
+               "beyond run-to-run variance on these seeds."))
     lines += [
         "",
         "Throughput context: the flagship's full reference recipe "
