@@ -69,6 +69,46 @@ class TorchLinear(nn.Module):
         return y
 
 
+class TorchConv1d(nn.Module):
+    """1-D convolution with torch ``nn.Conv1d`` init, dual-layout.
+
+    Param tree is identical to ``flax.linen.Conv`` (``kernel [K, I, O]``,
+    ``bias [O]``, same U(-1/sqrt(I*K), ·) init), so checkpoints and
+    torch weight transfer are unaffected.  The layout is chosen per
+    call: ``ncw=False`` runs the standard TPU-friendly NWC conv;
+    ``ncw=True`` runs torch's native NCW layout.
+
+    Why NCW exists: the profiler trace of the bf16 train step
+    (profiles/bf16_full) showed the channel-major flatten before
+    ``CNNNet``'s fc1 — ``[B, W, C] -> [B, C, W] -> [B, C*W]`` — costing
+    ~150 us/step in pure layout copies (copy.387 fwd + copy.403 bwd, 7%
+    of the step).  Running the conv stack in NCW makes that flatten a
+    free row-major reshape (exactly torch's own memory story), so
+    neither the activations nor the 33.5M-param fc1 kernel is ever
+    physically transposed.  (A previous attempt expressed fc1 as a
+    two-contracting-dim einsum instead — XLA resolved it by transposing
+    the 67MB kernel every step and the step REGRESSED 2.20->2.69 ms;
+    the layout must be fixed upstream, at the convs.)
+    """
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, ncw: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[1] if ncw else x.shape[-1]
+        bound = 1.0 / math.sqrt(in_ch * self.kernel_size)
+        kernel = self.param("kernel", _uniform_init(bound),
+                            (self.kernel_size, in_ch, self.features))
+        bias = self.param("bias", _uniform_init(bound), (self.features,))
+        dn = ("NCW", "WIO", "NCW") if ncw else ("NWC", "WIO", "NWC")
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), (1,), "SAME",
+            dimension_numbers=dn)
+        bias = bias.astype(y.dtype)
+        return y + (bias[None, :, None] if ncw else bias)
+
+
 class GlorotLinear(nn.Module):
     """Dense layer with PyG's glorot weight init and zero/uniform bias."""
 
@@ -431,18 +471,21 @@ class CNNNet(nn.Module):
     @nn.compact
     def __call__(self, fp: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        # fp: [B, nbits] -> NWC [B, nbits, 1]
-        x = fp[..., None]
+        # bf16 compute runs the conv stack in torch's native NCW layout
+        # so the channel-major flatten below is a free reshape (see
+        # TorchConv1d: saves ~150 us/step of layout copies around fc1).
+        # f32 keeps NWC + explicit swapaxes: bit-faithful to the torch
+        # parity suite, and conv layout preferences differ anyway.
+        ncw = fp.dtype == jnp.bfloat16
+        # fp: [B, nbits] -> [B, 1, nbits] (NCW) or [B, nbits, 1] (NWC)
+        x = fp[:, None, :] if ncw else fp[..., None]
         for i, ch in enumerate((32, 64, 128)):
-            in_ch = x.shape[-1]
-            bound = 1.0 / math.sqrt(in_ch * 3)
-            x = nn.Conv(features=ch, kernel_size=(3,), padding="SAME",
-                        kernel_init=_uniform_init(bound),
-                        bias_init=_uniform_init(bound),
-                        name=f"conv{i + 1}")(x)
+            x = TorchConv1d(features=ch, name=f"conv{i + 1}")(x, ncw=ncw)
             x = nn.relu(x)
         # torch flattens channel-major: [B, C, W] -> [B, C*W]
-        x = jnp.swapaxes(x, -1, -2).reshape(x.shape[0], -1)
+        if not ncw:
+            x = jnp.swapaxes(x, -1, -2)
+        x = x.reshape(x.shape[0], -1)
         x = TorchLinear(self.fc_hidden, name="fc1")(x)
         x = nn.relu(x)
         x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)

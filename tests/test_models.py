@@ -189,3 +189,44 @@ def test_dropout_active_in_train_mode():
                         rngs={"dropout": jax.random.PRNGKey(7)})
     out_e = model.apply(variables, nodes, adj, node_mask)
     assert np.abs(np.asarray(out_d - out_e)).max() > 1e-6
+
+
+def test_cnn_bf16_ncw_path_matches_f32_nwc_path():
+    """CNNNet's bf16 NCW conv stack + free channel-major reshape must
+    compute the same function as the f32 NWC + swapaxes path (to bf16
+    tolerance), with an identical param tree."""
+    from mgat_graphsage_tpu.models import CNNNet
+
+    model = CNNNet(input_dim=256, output_dim=256)
+    fp = jax.random.bernoulli(jax.random.PRNGKey(3), 0.1,
+                              (4, 256)).astype(jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), fp)
+    # param tree unchanged: conv kernels [K, I, O], fc1 [C*W, F]
+    params = variables["params"]
+    assert params["conv1"]["kernel"].shape == (3, 1, 32)
+    assert params["conv3"]["kernel"].shape == (3, 64, 128)
+    assert params["fc1"]["kernel"].shape == (128 * 256, 256)
+    assert params["fc1"]["bias"].shape == (256,)
+
+    out_f32 = model.apply(variables, fp)
+    p16 = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16),
+                                 variables)
+    out_bf16 = model.apply(p16, fp.astype(jnp.bfloat16))
+    assert out_bf16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out_bf16, np.float32),
+                               np.asarray(out_f32), rtol=0.06, atol=0.3)
+
+
+def test_torch_conv1d_ncw_equals_nwc():
+    """TorchConv1d's NCW layout must equal its NWC layout on transposed
+    inputs — same params, same math, different memory order."""
+    from mgat_graphsage_tpu.models.layers import TorchConv1d
+
+    x_nwc = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 8),
+                              jnp.float32)
+    mod = TorchConv1d(features=16)
+    variables = mod.init(jax.random.PRNGKey(1), x_nwc)
+    y_nwc = mod.apply(variables, x_nwc)
+    y_ncw = mod.apply(variables, jnp.swapaxes(x_nwc, 1, 2), ncw=True)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(y_ncw, 1, 2)),
+                               np.asarray(y_nwc), rtol=2e-5, atol=2e-6)
