@@ -26,7 +26,39 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["torch_adam", "apply_updates_stochastic_round"]
+__all__ = ["torch_adam", "torch_adam_sr_update",
+           "apply_updates_stochastic_round"]
+
+
+def _hash_noise16(shape, salt: jnp.ndarray) -> jnp.ndarray:
+    """16 uniform bits per element from a murmur3-finalizer hash of
+    (element index ^ salt) — pure elementwise integer ops, so XLA fuses
+    it into the surrounding (memory-bound) optimizer loop with ZERO
+    extra HBM traffic.
+
+    Why not a real PRNG: the profiler traces of the first two SR builds
+    showed threefry dragging the fc1 grad+Adam fusion from 783 to
+    368 GB/s (compute-bound ALU chain), and ``rng_bit_generator``
+    materializing a 134 MB bit tensor (RngBitGenerator is a standalone
+    HLO op that cannot fuse) — both cost more than the f32 master
+    traffic SR saves.  Stochastic rounding only needs per-element
+    uniformity, not a cryptographic stream; the murmur3 finalizer is a
+    bijection on uint32, so distinct (index ^ salt) inputs stay
+    uniformly spread."""
+    n = 1
+    for d in shape:
+        n *= d
+    h = jax.lax.iota(jnp.uint32, n) ^ salt
+    h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA6B)
+    h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(0xFFFF)).reshape(shape)
+
+
+def _key_salt(key) -> jnp.ndarray:
+    """Collapse a jax.random key to one uint32 salt for the hash."""
+    kd = jnp.reshape(jax.random.key_data(key), (-1,)).astype(jnp.uint32)
+    return kd[0] * jnp.uint32(0x9E3779B9) ^ kd[-1]
 
 
 def _sr_to_bf16(x: jnp.ndarray, key) -> jnp.ndarray:
@@ -34,9 +66,12 @@ def _sr_to_bf16(x: jnp.ndarray, key) -> jnp.ndarray:
     the 16 truncated mantissa bits, then truncate.  Unbiased
     (E[result] == x up to bf16 spacing), the standard formulation for
     reduced-precision weight storage.  Works for both signs (IEEE
-    sign-magnitude: the carry propagates through the magnitude bits)."""
+    sign-magnitude: the carry propagates through the magnitude bits).
+
+    Noise comes from ``_hash_noise16`` (fusable elementwise hash), not a
+    PRNG — see its docstring for the measured story."""
     bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    noise = jax.random.bits(key, x.shape, jnp.uint16).astype(jnp.uint32)
+    noise = _hash_noise16(x.shape, _key_salt(key))
     hi = ((bits + noise) >> 16).astype(jnp.uint16)
     return jax.lax.bitcast_convert_type(hi, jnp.bfloat16)
 
@@ -58,6 +93,64 @@ def apply_updates_stochastic_round(params, updates, key):
         else:
             out.append((p + u).astype(p.dtype))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def torch_adam_sr_update(grads, state, params, key,
+                         lr: float, weight_decay: float = 0.0,
+                         b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-8,
+                         moment_dtype: str = "bfloat16"):
+    """One fused torch-Adam step ONTO bf16 master params with stochastic
+    rounding: per leaf, the f32 Adam math and the round-to-bf16 happen
+    in ONE pass (new_p = sr(p32 + upd)) so no f32 update or param tensor
+    ever touches HBM.
+
+    The first SR build went through ``optax`` (``tx.update`` producing a
+    materialized f32 ``updates`` tree, then a separate
+    ``apply_updates_stochastic_round`` pass): the trace showed the
+    second pass as a 507 us loop fusion plus a 134 MB f32 updates
+    stream.  This function is the single-pass replacement; the separate
+    helper remains for tests and non-optimizer uses.
+
+    Returns ``(new_params, new_state)`` with the same
+    ``optax.ScaleByAdamState`` layout as ``torch_adam`` (checkpoint
+    compatible)."""
+    mdt = jnp.bfloat16 if moment_dtype == "bfloat16" else jnp.float32
+    count = optax.safe_int32_increment(state.count)
+    cf = count.astype(jnp.float32)
+    c1 = 1.0 - b1 ** cf
+    c2 = 1.0 - b2 ** cf
+    salt0 = _key_salt(key)
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    g_leaves = jax.tree_util.tree_leaves(grads)
+    m_leaves = jax.tree_util.tree_leaves(state.mu)
+    v_leaves = jax.tree_util.tree_leaves(state.nu)
+    new_p, new_m, new_v = [], [], []
+    for i, (p, g, m, v) in enumerate(zip(leaves, g_leaves, m_leaves,
+                                         v_leaves)):
+        g = g.astype(jnp.float32)
+        p32 = p.astype(jnp.float32)
+        if weight_decay:
+            g = g + weight_decay * p32
+        m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+        v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
+        upd = (-lr) * (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
+        x = p32 + upd
+        if p.dtype == jnp.bfloat16:
+            bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+            leaf_salt = jnp.uint32((0x01000193 * (i + 1)) & 0xFFFFFFFF)
+            noise = _hash_noise16(x.shape, salt0 ^ leaf_salt)
+            hi = ((bits + noise) >> 16).astype(jnp.uint16)
+            new_p.append(jax.lax.bitcast_convert_type(hi, jnp.bfloat16))
+        else:
+            new_p.append(x.astype(p.dtype))
+        new_m.append(m2.astype(mdt))
+        new_v.append(v2.astype(mdt))
+
+    unf = jax.tree_util.tree_unflatten
+    return unf(treedef, new_p), optax.ScaleByAdamState(
+        count=count, mu=unf(treedef, new_m), nu=unf(treedef, new_v))
 
 
 def torch_adam(lr: float, weight_decay: float = 0.0, b1: float = 0.9,

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .optim import apply_updates_stochastic_round
+from .optim import torch_adam_sr_update
 from flax import struct
 from flax.core import unfreeze
 
@@ -305,15 +305,19 @@ class Trainer:
             (loss, (mse, kl, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params_c, state.batch_stats,
                                        batch, rng)
-            updates, new_opt = tx.update(grads, state.opt_state,
-                                         state.params)
             if master_bf16:
-                # bf16 master + stochastic rounding: one bf16 param
-                # stream through Adam instead of f32 master read/write
-                # PLUS a bf16 copy write (train/config.py master_dtype)
-                new_params = apply_updates_stochastic_round(
-                    state.params, updates, jax.random.fold_in(rng, 0x5e))
+                # bf16 master + stochastic rounding, single fused pass
+                # (train/optim.py::torch_adam_sr_update): Adam math and
+                # the round-to-bf16 in one loop, hash-based noise — no
+                # f32 param/update stream ever hits HBM
+                new_params, new_opt = torch_adam_sr_update(
+                    grads, state.opt_state, state.params,
+                    jax.random.fold_in(rng, 0x5e), lr=cfg.lr,
+                    weight_decay=cfg.weight_decay,
+                    moment_dtype=cfg.adam_moment_dtype)
             else:
+                updates, new_opt = tx.update(grads, state.opt_state,
+                                             state.params)
                 new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(step=state.step + 1,
                                       params=new_params,
@@ -360,7 +364,11 @@ class Trainer:
                 batch["sample_mask"] = smask
                 return constrain(batch)
 
-            if cdt is None:
+            if cdt is None or master_bf16:
+                # master_bf16: the params ARE the compute-dtype copy, so
+                # carrying a second tree would just duplicate 72MB in
+                # the scan carry (measured: 310 us/step of copies in the
+                # first SR build's trace, profiles/bf16_master_sr)
                 def body(carry, inp):
                     st, r = carry
                     r, sub = jax.random.split(r)

@@ -149,3 +149,52 @@ def test_bf16_master_requires_bf16_compute(fp_data):
     cfg = get_config("flagship", master_dtype="bfloat16")
     with _pytest.raises(ValueError, match="master_dtype"):
         Trainer(cfg, fp_data, None)
+
+
+def test_fused_sr_update_matches_two_pass_adam_math():
+    """torch_adam_sr_update (single fused Adam+round pass) must produce
+    bf16 params within one bf16 spacing of the exact f32 torch-Adam
+    result, and moments identical to torch_adam's (same math, same
+    storage dtype)."""
+    import optax
+
+    from mgat_graphsage_tpu.train.optim import (
+        torch_adam,
+        torch_adam_sr_update,
+    )
+
+    rng = np.random.default_rng(1)
+    params32 = {"a": jnp.asarray(rng.normal(size=(64, 8)),
+                                 jnp.float32),
+                "b": jnp.asarray(rng.normal(size=(8,)), jnp.float32)}
+    params16 = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), params32)
+    # grads w.r.t. the SAME (bf16-representable) params
+    params32 = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.float32), params16)
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32),
+    params32)
+
+    lr, wd = 1e-2, 1e-4
+    tx = torch_adam(lr, weight_decay=wd, moment_dtype="bfloat16")
+    st32 = tx.init(params32)
+    upd, st_ref = tx.update(grads, st32, params32)
+    exact = optax.apply_updates(params32, upd)
+
+    st16 = tx.init(params16)
+    new_p, st_sr = torch_adam_sr_update(
+        grads, st16, params16, jax.random.PRNGKey(3), lr=lr,
+        weight_decay=wd, moment_dtype="bfloat16")
+    for k in ("a", "b"):
+        got = np.asarray(new_p[k].astype(jnp.float32), np.float64)
+        want = np.asarray(exact[k], np.float64)
+        # SR lands on one of the two bf16 neighbours of the exact f32
+        # value: error < one bf16 ulp = 2^floor(log2|x|) * 2^-7
+        spacing = np.abs(want) * 2.0 ** -7 + 1e-9
+        assert (np.abs(got - want) <= spacing + 1e-9).all(), k
+        np.testing.assert_array_equal(
+            np.asarray(st_sr.mu[k]), np.asarray(st_ref.mu[k]))
+        np.testing.assert_array_equal(
+            np.asarray(st_sr.nu[k]), np.asarray(st_ref.nu[k]))
+    assert int(st_sr.count) == 1
