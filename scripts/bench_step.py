@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--n-molecules", type=int, default=2048)
     ap.add_argument("--extra-batch-sizes", type=int, nargs="*",
                     default=[])
+    ap.add_argument("--configs", nargs="*", default=None,
+                    help="subset of CONFIGS to run (default: all); "
+                         "skips writing --out unless all run")
     ap.add_argument("--out", default="BENCH_STEP.json")
     args = ap.parse_args()
 
@@ -91,8 +94,9 @@ def main():
     ds = MolecularDataset(sm[:args.n_molecules], y[:args.n_molecules],
                           fit_scaler=True, fingerprint="ecfp1024",
                           verbose=False)
-    rows = [bench_config(name, ov, ds, args.batch_size, args.steps)
-            for name, ov in CONFIGS.items()]
+    chosen = args.configs or list(CONFIGS)
+    rows = [bench_config(name, CONFIGS[name], ds, args.batch_size,
+                         args.steps) for name in chosen]
     # throughput scaling beyond the reference's bs 128: amortizes the
     # (HBM-bound) optimizer pass over more molecules per step
     for bs in args.extra_batch_sizes:
@@ -100,8 +104,9 @@ def main():
                                  CONFIGS["bf16_full"], ds, bs,
                                  args.steps))
     out = {"device": jax.devices()[0].device_kind, "rows": rows}
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
+    if args.configs is None:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
     print(json.dumps(out))
 
 
