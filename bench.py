@@ -137,9 +137,10 @@ def bench_tpu(ds) -> float:
     # gradients).  `flagship_bf16` trains to the same test metrics as the
     # f32-parity `flagship` (RESULTS.md); BENCH_PARITY=1 times the strict
     # parity config instead.  NOT flagship_bf16sr: bf16 master params +
-    # stochastic rounding measured SLOWER (3.13 vs 2.20 ms/step,
-    # BENCH_STEP.json) — the SR PRNG + round-trip casts cost more than
-    # the saved f32 parameter traffic; it remains an opt-in
+    # stochastic rounding measured SLOWER even in its best (fused
+    # single-pass) build — 2.63 vs 2.17 ms/step (BENCH_STEP.json; XLA
+    # splits the SR epilogue out of the fc1 grad+Adam fusion, see
+    # docs/DESIGN.md trace accounting); it remains an opt-in
     # HBM-capacity mode, not a throughput mode.
     preset = os.environ.get("BENCH_PRESET") or (
         "flagship" if os.environ.get("BENCH_PARITY", "0") == "1"

@@ -362,10 +362,16 @@ class MolecularDataset:
         ds.feature_dim = self.feature_dim
         ds.fp_dim = self.fp_dim
         ds.fingerprint = self.fingerprint
-        ds.nodes = self.nodes[idx][:, :bucket_nodes]
-        ds.edges = self.edges[idx][:, :, :bucket_edges]
-        ds.node_mask = self.node_mask[idx][:, :bucket_nodes]
-        ds.edge_mask = self.edge_mask[idx][:, :bucket_edges]
+        # ascontiguousarray: the sliced view would otherwise pin the
+        # full-width fancy-index copy in memory and force a re-copy at
+        # device upload
+        ds.nodes = np.ascontiguousarray(self.nodes[idx][:, :bucket_nodes])
+        ds.edges = np.ascontiguousarray(
+            self.edges[idx][:, :, :bucket_edges])
+        ds.node_mask = np.ascontiguousarray(
+            self.node_mask[idx][:, :bucket_nodes])
+        ds.edge_mask = np.ascontiguousarray(
+            self.edge_mask[idx][:, :bucket_edges])
         ds.fp = self.fp[idx]
         ds.n = int(idx.size)
         return ds

@@ -168,7 +168,8 @@ class Trainer:
         if cfg.master_dtype == "bfloat16":
             # bf16 master storage: init in f32 (flax default) then
             # quantize ONCE; every later update is stochastically
-            # rounded (train/optim.py::apply_updates_stochastic_round)
+            # rounded inside the fused Adam pass
+            # (train/optim.py::torch_adam_sr_update)
             params = jax.tree_util.tree_map(
                 lambda p: p.astype(jnp.bfloat16)
                 if p.dtype == jnp.float32 else p, params)

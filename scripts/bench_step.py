@@ -85,8 +85,9 @@ def main():
     ap.add_argument("--extra-batch-sizes", type=int, nargs="*",
                     default=[])
     ap.add_argument("--configs", nargs="*", default=None,
+                    choices=sorted(CONFIGS),
                     help="subset of CONFIGS to run (default: all); "
-                         "skips writing --out unless all run")
+                         "--out is only written when every config ran")
     ap.add_argument("--out", default="BENCH_STEP.json")
     args = ap.parse_args()
 
@@ -104,7 +105,7 @@ def main():
                                  CONFIGS["bf16_full"], ds, bs,
                                  args.steps))
     out = {"device": jax.devices()[0].device_kind, "rows": rows}
-    if args.configs is None:
+    if set(chosen) == set(CONFIGS):
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
     print(json.dumps(out))

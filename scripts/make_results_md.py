@@ -14,7 +14,7 @@ ORDER = ["flagship", "flagship_bf16", "flagship_bf16sr", "flagship_flat", "model
 DESC = {
     "flagship": "hybrid M-GAT-GraphSAGE + ECFP-CNN + KL (reference train.py)",
     "flagship_bf16": "flagship in the bf16 mixed-precision production config",
-    "flagship_bf16sr": "flagship w/ bf16 master params + stochastic rounding (max-throughput HBM config)",
+    "flagship_bf16sr": "flagship w/ bf16 master params + stochastic rounding (HBM-capacity mode; measured slower than flagship_bf16)",
     "flagship_flat": "flagship with the reference's batch-global attention quirk",
     "model1": "ablation 1: PyG-style GAT(h=10)+SAGE, dual pool",
     "model2": "ablation 2: ModifiedGAT w/o +V residual",
