@@ -286,6 +286,17 @@ def main():
     except Exception as e:  # torch missing or OOM: report absolute only
         log(f"[bench] torch baseline failed: {e}")
         cpu_mol_s = float("nan")
+    # Contention guard: the torch baseline shares this container's single
+    # CPU core with whatever else is running; a contended measurement
+    # (observed 17 mol/s vs the 64-75 measured quiet) would INFLATE our
+    # ratio.  Floor the baseline at the best quiet-machine measurement so
+    # vs_baseline is conservative.
+    BEST_QUIET_TORCH = 75.0
+    if np.isfinite(cpu_mol_s) and cpu_mol_s < BEST_QUIET_TORCH:
+        log(f"[bench] torch-CPU measured {cpu_mol_s:,.0f} mol/s < "
+            f"best-quiet {BEST_QUIET_TORCH:,.0f} (host contention?) — "
+            "using the quiet figure for the ratio")
+        cpu_mol_s = BEST_QUIET_TORCH
     vs = tpu_mol_s / cpu_mol_s if np.isfinite(cpu_mol_s) else None
     print(json.dumps({
         "metric": "flagship_train_throughput",
