@@ -198,3 +198,24 @@ def test_fused_sr_update_matches_two_pass_adam_math():
         np.testing.assert_array_equal(
             np.asarray(st_sr.nu[k]), np.asarray(st_ref.nu[k]))
     assert int(st_sr.count) == 1
+
+
+def test_hash_noise_uniform_and_salt_decorrelated():
+    """_hash_noise16 (the SR noise source) must be uniform over
+    [0, 2^16) and decorrelated across salts — the properties stochastic
+    rounding actually needs from its noise."""
+    from mgat_graphsage_tpu.train.optim import _hash_noise16
+
+    n = 1 << 16
+    a = np.asarray(_hash_noise16((n,), jnp.uint32(0x1234)), np.float64)
+    b = np.asarray(_hash_noise16((n,), jnp.uint32(0xBEEF)), np.float64)
+    # mean of U[0, 65535] = 32767.5; std of the mean = 65536/sqrt(12n)
+    assert abs(a.mean() - 32767.5) < 5 * 65536 / np.sqrt(12 * n)
+    # 16-bucket occupancy within 5% of uniform
+    counts, _ = np.histogram(a, bins=16, range=(0, 65536))
+    assert (np.abs(counts / (n / 16) - 1) < 0.05).all(), counts
+    # distinct salts give (near-)independent streams
+    corr = np.corrcoef(a, b)[0, 1]
+    assert abs(corr) < 0.02, corr
+    # and the full 16-bit range is actually exercised
+    assert a.min() < 256 and a.max() > 65279
