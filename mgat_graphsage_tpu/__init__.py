@@ -10,3 +10,46 @@ classical-ML comparison harness.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a stable directory.
+
+    Big CPU programs (virtual-mesh dryruns, test-suite epoch scans)
+    compile once per process without it; cross-process reuse measured
+    1.02 s -> 0.07 s on a medium program.
+
+    The >=10 s floor keeps the hundreds of small test programs out of
+    the dir.  It also — deliberately — keeps tunneled-TPU (axon)
+    programs out: their *client-side* compile clock reads only a few
+    seconds (the relay hides the real server compile), so they fall
+    under the floor.  That is the safe behavior: axon executable
+    serialization was observed to WRITE fine (3.6 MB entry for the
+    epoch scan at a lowered floor) but the deserialize path could not
+    be verified before the relay died, so no axon entry is ever
+    produced or consumed at the shipped floor.  Revisit only with a
+    live tunnel and a bounded-timeout probe.
+    Respects an explicit user setting (env ``JAX_COMPILATION_CACHE_DIR``
+    or prior ``jax.config.update``); opt out with ``MGAT_NO_JAX_CACHE=1``.
+    """
+    import os
+
+    if os.environ.get("MGAT_NO_JAX_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return
+        cache = os.environ.get(
+            "MGAT_JAX_CACHE",
+            os.path.expanduser("~/.cache/mgat_graphsage_tpu/jax"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          10.0)
+    except Exception:  # cache is an optimization, never a hard dep
+        pass
+
+
+_enable_persistent_compile_cache()
