@@ -254,7 +254,11 @@ def comprehensive_modeling(
         except Exception as e:
             if verbose:
                 print(f"  [{i:2d}/{len(models)}] {name} FAILED: {e}")
-    rows.sort(key=lambda r: r["rmse"])
+            # a failed fit must be STATED in the artifact, same rule as
+            # the env-gated boosters — not silently dropped
+            msg = str(e).replace(",", ";").replace("\n", " ")[:120]
+            rows.append({"model": name, "status": f"failed: {msg}"})
+    rows.sort(key=lambda r: r.get("rmse", float("inf")))
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir, "leaderboard.csv"), "w") as f:

@@ -214,10 +214,11 @@ def test_morgan_bit_statistics_on_bundled_data():
     # Quantifies "statistically equivalent to RDKit ECFP4": for drug-like
     # molecules, published RDKit ECFP4/1024 behavior is ~30-80 bits set
     # (3-6% density) and random-pair Tanimoto well under 0.5.  Measured
-    # on the frozen train split (400-molecule sample, seed 0):
-    # ECFP 52.0±16.9 bits (5.08%), random-pair Tanimoto mean 0.146;
-    # FCFP 40.7±13.2 bits (3.97%), mean 0.191.  The assertions bound
-    # those numbers loosely so dataset re-freezes don't churn the test.
+    # on THIS test's own 120-molecule seed-0 sample of the frozen train
+    # split: ECFP ~52 bits set/molecule (~5% density), random-pair
+    # Tanimoto mean ~0.15; FCFP ~41 bits (~4%), mean ~0.19.  The
+    # assertions bound those numbers loosely so dataset re-freezes
+    # don't churn the test.
     import random
 
     from mgat_graphsage_tpu.chem.fingerprints import get_ecfp, get_fcfp
