@@ -151,3 +151,43 @@ def test_mesh_checkpoint_round_trip(tmp_path):
         h_full[2]["train_loss"], rel=1e-4, abs=1e-5)
     assert h_b[0]["val_mse"] == pytest.approx(
         h_full[2]["val_mse"], rel=1e-4, abs=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sr_master_mesh_matches_single_device():
+    """bf16-master + fused stochastic rounding over the DP x TP mesh:
+    the iota-derived hash noise is a function of the GLOBAL element
+    index, so SPMD partitioning must reproduce the single-device noise
+    stream exactly — sharded SR params must track the single-device
+    run.  (This is the one place a partitioned iota could silently
+    change training numerics.)"""
+    cfg = get_config("flagship", epochs=2, batch_size=8,
+                     eval_batch_size=8,
+                     compute_dtype="bfloat16",
+                     adam_moment_dtype="bfloat16",
+                     master_dtype="bfloat16")
+    ds = MolecularDataset(SMILES, TARGETS, fit_scaler=cfg.scale_targets,
+                          fingerprint="ecfp1024", max_nodes=16,
+                          max_edges=32, verbose=False)
+
+    t_single = Trainer(cfg, ds, ds)
+    s1, _, h1 = t_single.fit(verbose=False)
+
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+    t_mesh = Trainer(cfg, ds, ds, mesh=mesh)
+    s2, _, h2 = t_mesh.fit(verbose=False)
+
+    # identical SR noise + bf16 math: losses agree to bf16 tolerance
+    # (reduction order across shards is the only allowed difference)
+    for r1, r2 in zip(h1, h2):
+        assert r1["train_loss"] == pytest.approx(r2["train_loss"],
+                                                 rel=2e-2, abs=2e-2)
+    # rounded bf16 master params agree elementwise on a big SR'd leaf
+    a = np.asarray(jax.device_get(
+        s1.params["cnn"]["fc1"]["kernel"]).astype(np.float32))
+    b = np.asarray(jax.device_get(
+        s2.params["cnn"]["fc1"]["kernel"]).astype(np.float32))
+    # gradients differ by cross-shard reduction order (bf16), so allow
+    # one-ulp disagreements on a small fraction of elements
+    mismatch = np.mean(a != b)
+    assert mismatch < 0.15, mismatch
