@@ -132,11 +132,15 @@ def build_models(seed: int = 42, fast: bool = False) -> Dict:
         "RANSAC": RANSACRegressor(random_state=seed),
         # full mode mirrors sklearn/pycaret defaults closely; fast mode
         # caps the subpopulation — at 1199 features each Theil-Sen
-        # subset solve is a ~1200^3/3-flop lstsq, and 1000 of them x6
-        # fits is hours on one core
+        # Documented divergence: sklearn's default max_subpopulation is
+        # 10,000; each subset solve on the 1199-dim features is a
+        # ~1200^3/3-flop lstsq, so the default (and even 1000) measured
+        # 7+ hours WITHOUT finishing on this container's single CPU
+        # core — the estimator is identical, only the number of random
+        # subsets drops, and the subset draw stays seeded.
         "TheilSen": TheilSenRegressor(random_state=seed,
                                       max_subpopulation=50 if fast
-                                      else 1000),
+                                      else 200),
     }
     # The reference's LightGBM row (pycaret.py:279-285) cannot run here
     # (wheel absent); sklearn's histogram-GBDT is the same algorithm
