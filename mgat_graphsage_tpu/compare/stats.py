@@ -235,10 +235,13 @@ def run_statistical_analysis(csv_path: str,
 def main():
     import argparse
 
-    from ..data import TRAIN_CSV
+    # default = the full bundled dataset: the reference's
+    # `statistical analysis.py:25` runs on the FULL ki_data.csv, not a
+    # split
+    from ..data import FULL_CSV
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--csv", default=TRAIN_CSV)
+    ap.add_argument("--csv", default=FULL_CSV)
     ap.add_argument("--out", default="stats_output")
     ap.add_argument("--limit", type=int, default=None)
     args = ap.parse_args()

@@ -19,9 +19,10 @@ DATASET_DIR = _os.path.join(_os.path.dirname(_os.path.dirname(
 TRAIN_CSV = _os.path.join(DATASET_DIR, "train_data.csv")
 VAL_CSV = _os.path.join(DATASET_DIR, "validation_data.csv")
 TEST_CSV = _os.path.join(DATASET_DIR, "test_data.csv")
+FULL_CSV = _os.path.join(DATASET_DIR, "full_data.csv")
 
 __all__ = [
     "GraphBatch", "MolecularDataset", "StandardScaler", "load_csv",
     "pad_to_multiple", "write_csv", "generate_dataset", "generate_splits",
-    "DATASET_DIR", "TRAIN_CSV", "VAL_CSV", "TEST_CSV",
+    "DATASET_DIR", "TRAIN_CSV", "VAL_CSV", "TEST_CSV", "FULL_CSV",
 ]

@@ -21,7 +21,14 @@ def main():
     write_csv(os.path.join(DATASET_DIR, "train_data.csv"), tr_s, tr_y)
     write_csv(os.path.join(DATASET_DIR, "validation_data.csv"), va_s, va_y)
     write_csv(os.path.join(DATASET_DIR, "test_data.csv"), te_s, te_y)
-    print(f"Wrote {len(tr_s)}/{len(va_s)}/{len(te_s)} rows to {DATASET_DIR}")
+    # the reference README names a FOURTH file — the full dataset
+    # (README.md:11; `statistical analysis.py:25` reads it as
+    # ki_data.csv).  Bundle it as the exact concatenation of the three
+    # splits so full == train+val+test by construction.
+    write_csv(os.path.join(DATASET_DIR, "full_data.csv"),
+              tr_s + va_s + te_s, list(tr_y) + list(va_y) + list(te_y))
+    print(f"Wrote {len(tr_s)}/{len(va_s)}/{len(te_s)} rows (+full) "
+          f"to {DATASET_DIR}")
 
 
 if __name__ == "__main__":

@@ -275,3 +275,20 @@ def test_bucket_view_matches_refeaturized_subset():
         np.testing.assert_array_equal(view.fp, fresh.fp)
         np.testing.assert_allclose(view.y, fresh.y, rtol=1e-6)
         assert view.smiles == fresh.smiles
+
+
+def test_full_csv_is_concatenation_of_frozen_splits():
+    """datasets/full_data.csv (the reference README's fourth file) must
+    equal train+val+test exactly — same rows, same order."""
+    from mgat_graphsage_tpu.data import (FULL_CSV, TEST_CSV, TRAIN_CSV,
+                                         VAL_CSV, load_csv)
+
+    fs, fy = load_csv(FULL_CSV)
+    sm, y = [], []
+    for p in (TRAIN_CSV, VAL_CSV, TEST_CSV):
+        s, t = load_csv(p)
+        sm += list(s)
+        y += list(t)
+    assert list(fs) == sm
+    np.testing.assert_array_equal(np.asarray(fy), np.asarray(y))
+    assert len(fs) == 4461
