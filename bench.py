@@ -278,7 +278,34 @@ def bench_torch_cpu(ds) -> float:
     return mol_s
 
 
+def _probe_backend(timeout_s: int = 240) -> None:
+    """Fail FAST if the TPU relay is dead instead of hanging forever.
+
+    A dead axon relay makes even ``jax.devices()`` block indefinitely
+    (the relay process exits on host-channel EOF and cannot be
+    restarted in-VM — see .claude/skills/verify/SKILL.md).  Probe in a
+    subprocess with a bound so the driver gets a clear error, not a
+    hang."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0:
+            return
+        log(f"[bench] backend probe failed (rc={r.returncode}): "
+            f"{r.stderr.strip()[-400:]}")
+    except subprocess.TimeoutExpired:
+        log(f"[bench] FATAL: jax backend did not initialize within "
+            f"{timeout_s}s — the TPU relay is likely dead "
+            f"(/root/.tpu_init.py gone). Aborting instead of hanging.")
+    sys.exit(1)
+
+
 def main():
+    _probe_backend()
     ds = load_data()
     tpu_mol_s, mfu, mbu = bench_tpu(ds)
     try:
