@@ -288,10 +288,16 @@ def _probe_backend(timeout_s: int = 240) -> None:
     hang."""
     import subprocess
 
+    # sitecustomize pre-imports jax with JAX_PLATFORMS=axon, so an env
+    # override must be re-applied via the CONFIG API inside the probe
+    probe_src = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "print(jax.devices()[0].platform)\n")
     try:
         r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
+            [sys.executable, "-c", probe_src],
             capture_output=True, text=True, timeout=timeout_s)
         if r.returncode == 0:
             return
