@@ -29,7 +29,8 @@ from ..data import load_csv
 from ..eval.metrics import pearsonr
 
 __all__ = ["get_atom_features", "get_combined_features", "build_models",
-           "comprehensive_modeling", "featurize_dataframe"]
+           "comprehensive_modeling", "featurize_dataframe",
+           "feature_names"]
 
 SCALING_MODELS = {
     "SVR", "KNN", "Ridge", "Lasso", "Elastic Net", "Lars", "Lasso Lars",
@@ -55,6 +56,30 @@ def get_combined_features(smiles: str, ecfp_radius: int = 2,
     (reference ``pycaret.py:88-97``)."""
     ecfp = get_ecfp(smiles, radius=ecfp_radius, nBits=ecfp_n_bits).reshape(-1)
     return np.concatenate([ecfp, get_atom_features(smiles)])
+
+
+def feature_names() -> List[str]:
+    """Column names for the 1199-dim combined features — the reference's
+    ``ECFP_i`` + ``{Agg}_{AtomFeature}`` scheme (``pycaret.py:129-144``),
+    used to label the feature-importance dump."""
+    base = (["AtomSymbol_" + str(i) for i in range(10)]
+            + ["AtomDegree_" + str(i) for i in range(7)]
+            + ["ImplicitValence_" + str(i) for i in range(7)]
+            + ["Hybridization_" + str(i) for i in range(5)]
+            + ["IsAromatic"]
+            + ["TotalNumHs_" + str(i) for i in range(5)])
+    cols = [f"ECFP_{i}" for i in range(1024)]
+    for agg in ("Mean", "Max", "Sum", "Min", "Std"):
+        cols += [f"{agg}_{name}" for name in base]
+    return cols
+
+
+def _importance_names(n_features: int) -> List[str]:
+    """The reference names (when the features ARE the 1199-dim combined
+    set) or generic ``f{i}`` labels for any other matrix."""
+    names = feature_names()
+    return names if n_features == len(names) else \
+        [f"f{i}" for i in range(n_features)]
 
 
 def featurize_dataframe(smiles_list, targets,
@@ -209,6 +234,7 @@ def comprehensive_modeling(
                   f"(pycaret.py:279-285) are reported as 'unavailable'")
     rows: List[Dict] = []
     predictions: Dict[str, np.ndarray] = {}
+    importances: Dict[str, np.ndarray] = {}
     for i, (name, model) in enumerate(models.items(), 1):
         t0 = time.time()
         try:
@@ -221,6 +247,9 @@ def comprehensive_modeling(
             model.fit(xtr, y_train)
             pred = np.asarray(model.predict(xte), dtype=np.float64)
             predictions[name] = pred
+            if hasattr(model, "feature_importances_"):
+                importances[name] = np.asarray(model.feature_importances_,
+                                               dtype=np.float64)
             mse = float(mean_squared_error(y_test, pred))
             mae = float(mean_absolute_error(y_test, pred))
             r, p = pearsonr(y_test, pred)
@@ -300,6 +329,31 @@ def comprehensive_modeling(
                     resid = float(y_test[i]) - bp[i]
                     f.write(f"{float(y_test[i]):.6f},{bp[i]:.6f},"
                             f"{resid:.6f},{abs(resid):.6f}\n")
+        # feature-importance matrix mirroring the reference's
+        # combined_feature_importances.csv (pycaret.py:437-440):
+        # one row per feature name, one column per tree/ensemble model
+        if importances:
+            fnames = _importance_names(X_train.shape[1])
+            with open(os.path.join(
+                    output_dir, "feature_importances.csv"), "w") as f:
+                inames = list(importances)
+                f.write("feature," + ",".join(inames) + "\n")
+                for j, fname in enumerate(fnames):
+                    f.write(fname + "," + ",".join(
+                        f"{importances[n][j]:.6g}" for n in inames)
+                        + "\n")
+    if verbose and importances:
+        # reference prints the top-15 features for the first 3 models
+        # with importances (pycaret.py:427-435)
+        fnames = _importance_names(X_train.shape[1])
+        for name in list(importances)[:3]:
+            imp = importances[name]
+            print(f"\n{name} feature importance (top 15):")
+            for rank, idx in enumerate(np.argsort(imp)[-15:][::-1], 1):
+                kind = ("ECFP" if fnames[idx].startswith("ECFP_")
+                        else "Atom Feature")
+                print(f"  {rank:2d}. {fnames[idx]} ({kind}): "
+                      f"{imp[idx]:.4f}")
     return rows
 
 

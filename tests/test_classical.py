@@ -9,6 +9,7 @@ import numpy as np
 from mgat_graphsage_tpu.compare.classical import (
     build_models,
     comprehensive_modeling,
+    feature_names,
     get_combined_features,
     unavailable_boosters,
 )
@@ -56,6 +57,41 @@ def test_unavailable_boosters_are_stated(tmp_path):
     assert bestp[0] == "actual,predicted,residuals,abs_residuals"
     a, p, r_, ab = map(float, bestp[1].split(","))
     assert abs(r_ - (a - p)) < 1e-5 and abs(ab - abs(r_)) < 1e-12
+
+
+def test_feature_names_match_reference_scheme():
+    """pycaret.py:129-144: ECFP_0..1023 then Mean/Max/Sum/Min/Std of the
+    35 atom-feature columns = 1199 names aligned with
+    get_combined_features' layout."""
+    names = feature_names()
+    assert len(names) == 1199
+    assert names[0] == "ECFP_0" and names[1023] == "ECFP_1023"
+    assert names[1024] == "Mean_AtomSymbol_0"
+    assert names[1024 + 35] == "Max_AtomSymbol_0"
+    assert names[-1] == "Std_TotalNumHs_4"
+
+
+def test_feature_importances_csv(tmp_path):
+    """The importance dump mirrors combined_feature_importances.csv
+    (pycaret.py:437-440): one row per feature, one column per model
+    exposing feature_importances_."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(40, 9))
+    y = x[:, 0] * 2.0 + 0.05 * rng.normal(size=40)
+    comprehensive_modeling(
+        x[:30], y[:30], x[30:], y[30:],
+        output_dir=str(tmp_path), cv_folds=0, fast=True, verbose=False)
+    lines = open(tmp_path / "feature_importances.csv").read().splitlines()
+    header = lines[0].split(",")
+    assert header[0] == "feature"
+    assert "Random Forest" in header
+    assert len(lines) == 1 + 9          # generic f{i} names at 9 dims
+    assert lines[1].startswith("f0,")
+    # the informative feature dominates for the tree ensembles
+    rf = header.index("Random Forest")
+    imp = np.array([[float(v) for v in ln.split(",")[1:]]
+                    for ln in lines[1:]])
+    assert np.argmax(imp[:, rf - 1]) == 0
 
 
 def test_booster_registry_gating_consistent():
