@@ -16,6 +16,7 @@ Reproduces the reference pipeline on a ``Smiles,pchembl`` CSV:
 
 from __future__ import annotations
 
+import json
 import math
 import os
 from typing import Dict, List, Optional, Tuple
@@ -226,6 +227,20 @@ def run_statistical_analysis(csv_path: str,
     ]
     rf = _rf_importance(desc, y, os.path.join(output_dir,
                                               "rf_importance.png"))
+    # persist the tables the reference only prints (statistical
+    # analysis.py:237-242 forest stats, :272-277 importances + report)
+    # so the analysis is an inspectable artifact, not just stdout
+    cols = ["descriptor", "high_mean", "low_mean", "t", "p",
+            "odds_ratio", "ci_low", "ci_high"]
+    with open(os.path.join(output_dir, "descriptor_stats.csv"), "w") as f:
+        f.write(",".join(cols + ["significant"]) + "\n")
+        for r in rows:
+            sig = r["p"] < 0.05 and not (r["ci_low"] <= 1.0 <= r["ci_high"])
+            f.write(",".join(f"{r[c]:.6g}" if isinstance(r[c], float)
+                             else str(r[c]) for c in cols)
+                    + f",{sig}\n")
+    with open(os.path.join(output_dir, "rf_report.json"), "w") as f:
+        json.dump(rf, f, indent=2)
     if verbose:
         acc = rf["classification_report"]["accuracy"]
         print(f"RandomForest High/Low classification accuracy: {acc:.3f}")

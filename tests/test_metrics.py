@@ -66,3 +66,33 @@ def test_odds_ratio_haldane_correction():
     or_, lo, hi = odds_ratio_ci(high, low)
     assert np.isfinite(or_) and or_ > 1
     assert np.isfinite(lo) and np.isfinite(hi)
+
+
+def test_statistical_analysis_artifacts(tmp_path):
+    """End-to-end stats pipeline persists the tables the reference only
+    prints (statistical analysis.py:237-242, 272-277) plus the 3 figure
+    families."""
+    import csv
+    import json
+
+    from mgat_graphsage_tpu.compare.stats import run_statistical_analysis
+    from mgat_graphsage_tpu.data import TEST_CSV
+
+    out = run_statistical_analysis(TEST_CSV, str(tmp_path), limit=80,
+                                   verbose=False)
+    for fname in ("forest_plot.png", "pca.png", "rf_importance.png",
+                  "descriptor_stats.csv", "rf_report.json"):
+        assert (tmp_path / fname).exists(), fname
+
+    rows = list(csv.DictReader(open(tmp_path / "descriptor_stats.csv")))
+    assert len(rows) == len(out["stats"]) == 11      # 11 descriptors
+    for row in rows:
+        assert row["significant"] in ("True", "False")
+        lo, mid, hi = (float(row["ci_low"]), float(row["odds_ratio"]),
+                       float(row["ci_high"]))
+        assert lo <= mid <= hi
+
+    rf = json.load(open(tmp_path / "rf_report.json"))
+    assert set(rf) == {"importances", "classification_report"}
+    assert 0.0 <= rf["classification_report"]["accuracy"] <= 1.0
+    assert len(rf["importances"]) == 11
