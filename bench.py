@@ -44,7 +44,8 @@ PEAK_HBM_GBPS = {
 
 def flop_model(n_nodes: int, fp_dim: int = 1024, feat: int = 35,
                cnn_fc_hidden: int = 256, batch: int = BATCH_SIZE,
-               compute_bytes: int = 4, moment_bytes: int = 4):
+               compute_bytes: int = 4, moment_bytes: int = 4,
+               master_bytes: int = 4):
     """Analytic cost of ONE flagship train step (batch of `batch` padded
     molecules): (matmul FLOPs, HBM bytes moved).
 
@@ -82,17 +83,22 @@ def flop_model(n_nodes: int, fp_dim: int = 1024, feat: int = 35,
                 + (1 + fp_dim) * 512              # combined fc1
                 + f * 1500 + 1500 * 128           # graph head
                 + 9 * f * f + 3 * f * f)          # attention + SAGE (approx)
-    # master params / gradients are always f32; weight reads inside
-    # fwd+bwd ride the compute dtype (plus one f32->compute cast stream
-    # when compute_bytes < 4); Adam moments ride the moment dtype
-    pbytes = n_params * 4
+    # gradients are always f32 (bf16 grads measured as a dead end); weight
+    # reads inside fwd+bwd ride the compute dtype; master params ride
+    # master_bytes (4 normally; 2 under master_dtype='bfloat16', where the
+    # bf16 master IS the compute copy and the per-step f32->bf16 cast
+    # stream disappears — the SR preset's whole point); Adam moments ride
+    # the moment dtype
+    gbytes = n_params * 4
     cbytes = n_params * compute_bytes
     mbytes = n_params * moment_bytes
-    cast = (pbytes + cbytes) if compute_bytes < 4 else 0
+    pbytes = n_params * master_bytes
+    cast = (pbytes + cbytes) if (compute_bytes < 4 and master_bytes == 4) \
+        else 0
     bytes_moved = (cast              # per-step f32 -> bf16 weight cast
                    + 2 * cbytes      # fwd weight read + bwd dact read
-                   + pbytes          # gradient write
-                   + 2 * pbytes      # Adam read p, g
+                   + gbytes          # gradient write
+                   + pbytes + gbytes  # Adam read p, g
                    + 2 * mbytes      # Adam read m, v
                    + pbytes          # Adam write p
                    + 2 * mbytes)     # Adam write m, v
@@ -192,7 +198,8 @@ def bench_tpu(ds) -> float:
     step_flops, step_bytes = flop_model(
         ds.max_nodes, batch=BATCH_SIZE,
         compute_bytes=2 if cfg.compute_dtype == "bfloat16" else 4,
-        moment_bytes=2 if cfg.adam_moment_dtype == "bfloat16" else 4)
+        moment_bytes=2 if cfg.adam_moment_dtype == "bfloat16" else 4,
+        master_bytes=2 if cfg.master_dtype == "bfloat16" else 4)
     step_s = dt / n_steps
     achieved_tflops = step_flops / step_s / 1e12
     achieved_gbps = step_bytes / step_s / 1e9
@@ -278,40 +285,17 @@ def bench_torch_cpu(ds) -> float:
     return mol_s
 
 
-def _probe_backend(timeout_s: int = 240) -> None:
-    """Fail FAST if the TPU relay is dead instead of hanging forever.
-
-    A dead axon relay makes even ``jax.devices()`` block indefinitely
-    (the relay process exits on host-channel EOF and cannot be
-    restarted in-VM — see .claude/skills/verify/SKILL.md).  Probe in a
-    subprocess with a bound so the driver gets a clear error, not a
-    hang."""
-    import subprocess
-
-    # sitecustomize pre-imports jax with JAX_PLATFORMS=axon, so an env
-    # override must be re-applied via the CONFIG API inside the probe
-    probe_src = (
-        "import os, jax\n"
-        "p = os.environ.get('JAX_PLATFORMS')\n"
-        "if p: jax.config.update('jax_platforms', p)\n"
-        "print(jax.devices()[0].platform)\n")
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", probe_src],
-            capture_output=True, text=True, timeout=timeout_s)
-        if r.returncode == 0:
-            return
-        log(f"[bench] backend probe failed (rc={r.returncode}): "
-            f"{r.stderr.strip()[-400:]}")
-    except subprocess.TimeoutExpired:
-        log(f"[bench] FATAL: jax backend did not initialize within "
-            f"{timeout_s}s — the TPU relay is likely dead "
-            f"(/root/.tpu_init.py gone). Aborting instead of hanging.")
-    sys.exit(1)
-
-
 def main():
-    _probe_backend()
+    # a dead backend is FATAL for the bench (perf numbers off-chip would
+    # mislead); the shared bounded probe keeps this process hang-free
+    from mgat_graphsage_tpu.utils import probe_backend
+
+    try:
+        platform = probe_backend()
+        log(f"[bench] backend up: {platform}")
+    except RuntimeError as e:
+        log(f"[bench] FATAL: {e}")
+        sys.exit(1)
     ds = load_data()
     tpu_mol_s, mfu, mbu = bench_tpu(ds)
     try:
@@ -325,11 +309,16 @@ def main():
     # ratio.  Floor the baseline at the best quiet-machine measurement so
     # vs_baseline is conservative.
     BEST_QUIET_TORCH = 75.0
+    cpu_measured = cpu_mol_s
+    baseline_source = "measured"
     if np.isfinite(cpu_mol_s) and cpu_mol_s < BEST_QUIET_TORCH:
         log(f"[bench] torch-CPU measured {cpu_mol_s:,.0f} mol/s < "
             f"best-quiet {BEST_QUIET_TORCH:,.0f} (host contention?) — "
-            "using the quiet figure for the ratio")
+            "using the quiet figure for the ratio; the raw measurement "
+            "is reported as torch_cpu_measured so a real torch-path "
+            "regression stays visible")
         cpu_mol_s = BEST_QUIET_TORCH
+        baseline_source = "quiet_floor"
     vs = tpu_mol_s / cpu_mol_s if np.isfinite(cpu_mol_s) else None
     print(json.dumps({
         "metric": "flagship_train_throughput",
@@ -338,6 +327,9 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "hbm_bw_util": round(mbu, 4) if mbu is not None else None,
+        "torch_cpu_measured": (round(cpu_measured, 1)
+                               if np.isfinite(cpu_measured) else None),
+        "baseline_source": baseline_source,
     }))
 
 

@@ -155,8 +155,6 @@ def build_models(seed: int = 42, fast: bool = False) -> Dict:
         "Passive Aggressive": PassiveAggressiveRegressor(
             random_state=seed),
         "RANSAC": RANSACRegressor(random_state=seed),
-        # full mode mirrors sklearn/pycaret defaults closely; fast mode
-        # caps the subpopulation — at 1199 features each Theil-Sen
         # Documented divergence: sklearn's default max_subpopulation is
         # 10,000; each subset solve on the 1199-dim features is a
         # ~1200^3/3-flop lstsq, so the default (and even 1000) measured

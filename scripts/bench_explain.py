@@ -69,11 +69,11 @@ def main():
     def graph_apply(nodes, adj, node_mask):
         return module.apply({"params": params}, nodes, adj, node_mask)
 
-    # dataset on device ONCE (what hybrid_analysis_strategy does)
-    dev = jax.block_until_ready(
-        (jnp.asarray(ds.nodes), jnp.asarray(ds.edges),
-         jnp.asarray(ds.edge_mask), jnp.asarray(ds.node_mask)))
-    nodes_d, edges_d, emask_d, nmask_d = dev
+    # dataset on device ONCE — the same helper the pipeline uses, so
+    # this bench stays the production upload path by construction
+    from mgat_graphsage_tpu.explain.pipeline import _device_dataset
+
+    nodes_d, edges_d, emask_d, nmask_d = _device_dataset(ds)
     num_atoms = ds.node_mask.sum(axis=1).astype(np.int64)
 
     def best_of(fn, n, label, repeats=3):
