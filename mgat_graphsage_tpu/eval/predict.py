@@ -279,7 +279,7 @@ class Predictor:
         return out
 
 
-def main():
+def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
@@ -287,7 +287,7 @@ def main():
     ap.add_argument("csv")
     ap.add_argument("--out", default="model_prediction_results.csv")
     ap.add_argument("--batch-size", type=int, default=64)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     predict_csv(args.checkpoint, args.csv, args.out, args.batch_size)
 
 

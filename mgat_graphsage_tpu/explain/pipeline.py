@@ -347,7 +347,7 @@ def _write_report(path: str, results: Dict, info: Dict,
         f.write("\n".join(lines))
 
 
-def main():
+def main(argv=None):
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
@@ -358,7 +358,7 @@ def main():
     ap.add_argument("--out", default="explain_output")
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--no-gnnexplainer", action="store_true")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     hybrid_analysis_strategy(
         args.csv, args.checkpoint, args.count, args.threshold,
         output_dir=args.out, limit=args.limit,
