@@ -78,3 +78,24 @@ def test_roundtrip_bundled_dataset_sample():
         m2 = parse_smiles(mol_to_smiles(m1))
         assert np.array_equal(
             morgan_fingerprint(m1), morgan_fingerprint(m2)), s
+
+
+def test_roundtrip_generator_space_fuzz():
+    """Fuzz beyond the frozen splits: fresh generator seeds produce
+    molecules that (a) pass valence validation by construction and
+    (b) survive a write->reparse round trip with identical Morgan
+    fingerprints.  Guards the generator/parser/writer trio against
+    regressions the fixed seed-42 splits cannot see."""
+    import numpy as np
+
+    from mgat_graphsage_tpu.chem.fingerprints import morgan_fingerprint
+    from mgat_graphsage_tpu.data.synth import generate_dataset
+
+    for seed in (7, 123, 2026):
+        smiles, _ = generate_dataset(60, seed=seed)
+        assert len(smiles) == 60
+        for s in smiles:
+            m1 = parse_smiles(s)          # raises on over-valent atoms
+            m2 = parse_smiles(mol_to_smiles(m1))
+            assert np.array_equal(
+                morgan_fingerprint(m1), morgan_fingerprint(m2)), (seed, s)
