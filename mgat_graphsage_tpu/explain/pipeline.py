@@ -316,6 +316,20 @@ def _write_report(path: str, results: Dict, info: Dict,
         f"Molecules analyzed in detail:             "
         f"{results['n_detailed']}",
         "",
+        # reference Global Statistics block (gnnexplainer.py:1652-1664):
+        # full-dataset prediction / importance / size distributions
+        "Global statistics (all molecules, quick gradient pass):",
+        f"  prediction:     {float(np.min(info['prediction'])):.3f} - "
+        f"{float(np.max(info['prediction'])):.3f}   mean "
+        f"{float(np.mean(info['prediction'])):.3f} +/- "
+        f"{float(np.std(info['prediction'])):.3f}",
+        f"  avg importance: {float(np.min(info['avg_importance'])):.3f} - "
+        f"{float(np.max(info['avg_importance'])):.3f}   mean "
+        f"{float(np.mean(info['avg_importance'])):.3f}",
+        f"  molecule size:  {int(np.min(info['num_atoms']))} - "
+        f"{int(np.max(info['num_atoms']))} atoms   mean "
+        f"{float(np.mean(info['num_atoms'])):.1f}",
+        "",
         "Sampling coverage of the detailed set:",
         f"  prediction range:      {cov['prediction'][0]:.3f} - "
         f"{cov['prediction'][1]:.3f}",

@@ -68,7 +68,9 @@ def test_explain_cli_artifacts(cli_run):
     explain_main([ckpt, TEST_CSV, "--count", "4", "--threshold", "0.3",
                   "--out", str(out), "--limit", "24",
                   "--no-gnnexplainer"])
-    assert (out / "analysis_report.txt").exists()
+    report = (out / "analysis_report.txt").read_text()
+    assert "Global statistics" in report       # gnnexplainer.py:1652-1664
+    assert "+/-" in report                     # prediction mean +/- std
     res = json.load(open(out / "analysis_results.json"))
     assert res                                  # non-empty results
     pngs = [f for f in os.listdir(out) if f.endswith(".png")]
