@@ -245,6 +245,14 @@ def hybrid_analysis_strategy(
     results["fragment_environment_frequency"] = dict(
         sorted(frag_counts.items(), key=lambda kv: -kv[1])[:40])
     results["n_local_fragments"] = n_local_fragments
+    # functional-group totals over the full dataset (reference report's
+    # "Most common functional groups", gnnexplainer.py:1714-1717)
+    fg_counts: Dict[str, int] = {}
+    for rec in full["per_molecule"]:
+        for k, v in rec["functional_groups"].items():
+            fg_counts[k] = fg_counts.get(k, 0) + v
+    results["functional_group_counts"] = dict(
+        sorted(fg_counts.items(), key=lambda kv: -kv[1]))
 
     figure_paths = []
     if make_figures:
@@ -260,13 +268,10 @@ def hybrid_analysis_strategy(
         if elem_imp:
             figure_paths.append(F.atom_importance_figures(
                 elem_imp, os.path.join(output_dir, "atom_importance.png")))
-        fg_counts: Dict[str, int] = {}
-        for rec in full["per_molecule"]:
-            for k, v in rec["functional_groups"].items():
-                fg_counts[k] = fg_counts.get(k, 0) + v
         figure_paths.append(F.substructure_figures(
             full["substructure_frequency"],
-            full["substructure_mean_importance"], fg_counts,
+            full["substructure_mean_importance"],
+            results["functional_group_counts"],
             os.path.join(output_dir, "substructures.png")))
         # highlighted grid: y > 6 & max importance > 0.5
         entries = []
@@ -347,6 +352,10 @@ def _write_report(path: str, results: Dict, info: Dict,
     lines += ["", "Detailed-set substructure frequency:"]
     for name, cnt in list(
             results["detailed_substructure_frequency"].items())[:15]:
+        lines.append(f"  {name:<20} {cnt:>6}")
+    lines += ["", "Most common functional groups (full dataset, Top 10):"]
+    for name, cnt in list(
+            results.get("functional_group_counts", {}).items())[:10]:
         lines.append(f"  {name:<20} {cnt:>6}")
     lines += [
         "",

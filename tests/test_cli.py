@@ -71,6 +71,7 @@ def test_explain_cli_artifacts(cli_run):
     report = (out / "analysis_report.txt").read_text()
     assert "Global statistics" in report       # gnnexplainer.py:1652-1664
     assert "+/-" in report                     # prediction mean +/- std
+    assert "functional groups" in report       # gnnexplainer.py:1714-1717
     res = json.load(open(out / "analysis_results.json"))
     assert res                                  # non-empty results
     pngs = [f for f in os.listdir(out) if f.endswith(".png")]
