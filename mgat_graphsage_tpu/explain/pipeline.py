@@ -353,6 +353,17 @@ def _write_report(path: str, results: Dict, info: Dict,
     for name, cnt in list(
             results["detailed_substructure_frequency"].items())[:15]:
         lines.append(f"  {name:<20} {cnt:>6}")
+    # reference Analysis Completeness block (gnnexplainer.py:1718-1725)
+    n_mol = max(int(results["n_molecules"]), 1)
+    lines += [
+        "",
+        "Analysis completeness:",
+        f"  detailed coverage:                "
+        f"{100.0 * results['n_detailed'] / n_mol:.1f}% "
+        f"({results['n_detailed']}/{n_mol} molecules)",
+        f"  identified important substructures: "
+        f"{len(results.get('substructure_frequency', {}))}",
+    ]
     lines += ["", "Most common functional groups (full dataset, Top 10):"]
     for name, cnt in list(
             results.get("functional_group_counts", {}).items())[:10]:
