@@ -1,5 +1,7 @@
 """Data-pipeline tests: scaler, batching, CSV round-trip, bundled splits."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -292,3 +294,27 @@ def test_full_csv_is_concatenation_of_frozen_splits():
     assert list(fs) == sm
     np.testing.assert_array_equal(np.asarray(fy), np.asarray(y))
     assert len(fs) == 4461
+
+
+def test_ensure_bundled_datasets_regenerates_identically(tmp_path,
+                                                         monkeypatch):
+    """Installed-package mode: with no committed datasets/ dir, the
+    bundled splits regenerate deterministically (seed 42) into the
+    cache, byte-identical to the frozen files."""
+    import mgat_graphsage_tpu.data as d
+
+    monkeypatch.setattr(d, "DATASET_DIR", str(tmp_path))
+    for name, attr in (("train_data.csv", "TRAIN_CSV"),
+                       ("validation_data.csv", "VAL_CSV"),
+                       ("test_data.csv", "TEST_CSV"),
+                       ("full_data.csv", "FULL_CSV")):
+        monkeypatch.setattr(d, attr, str(tmp_path / name))
+    out = d.ensure_bundled_datasets()
+    assert out == str(tmp_path)
+    for name in ("train_data.csv", "validation_data.csv",
+                 "test_data.csv", "full_data.csv"):
+        regen = (tmp_path / name).read_bytes()
+        frozen = open(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "datasets", name), "rb").read()
+        assert regen == frozen, f"{name} differs from the frozen split"
