@@ -235,7 +235,10 @@ def run_statistical_analysis(csv_path: str,
     with open(os.path.join(output_dir, "descriptor_stats.csv"), "w") as f:
         f.write(",".join(cols + ["significant"]) + "\n")
         for r in rows:
-            sig = r["p"] < 0.05 and not (r["ci_low"] <= 1.0 <= r["ci_high"])
+            # reference rule: Significant == p < 0.05 alone
+            # (statistical analysis.py:129); the forest plot colors by
+            # the same rule
+            sig = r["p"] < 0.05
             f.write(",".join(f"{r[c]:.6g}" if isinstance(r[c], float)
                              else str(r[c]) for c in cols)
                     + f",{sig}\n")
