@@ -28,7 +28,8 @@ from ..chem.smiles import MolFromSmiles
 from ..data import load_csv
 
 __all__ = ["compute_descriptor_table", "odds_ratio_ci", "welch_ttest",
-           "descriptor_statistics", "run_statistical_analysis"]
+           "student_ttest", "descriptor_statistics",
+           "run_statistical_analysis"]
 
 
 def compute_descriptor_table(smiles_list) -> Tuple[np.ndarray, List[int]]:
@@ -86,16 +87,34 @@ def welch_ttest(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
         return float(t), float(p)
 
 
+def student_ttest(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
+    """Pooled-variance Student's t-test (two-sided) — scipy
+    ``ttest_ind``'s DEFAULT (``equal_var=True``), which is what the
+    reference calls (``statistical analysis.py:117``)."""
+    try:
+        from scipy import stats
+        t, p = stats.ttest_ind(a, b, equal_var=True)
+        return float(t), float(p)
+    except Exception:
+        na, nb = len(a), len(b)
+        sp2 = ((na - 1) * a.var(ddof=1) + (nb - 1) * b.var(ddof=1)) \
+            / (na + nb - 2)
+        t = (a.mean() - b.mean()) / math.sqrt(sp2 * (1 / na + 1 / nb))
+        p = 2 * 0.5 * math.erfc(abs(t) / math.sqrt(2))
+        return float(t), float(p)
+
+
 def descriptor_statistics(desc: np.ndarray, y: np.ndarray) -> List[Dict]:
-    """Per-descriptor Welch t-test + odds ratio between High/Low affinity
-    groups (median split on the target)."""
+    """Per-descriptor Student's t-test (the reference's scipy
+    ``ttest_ind`` default, ``statistical analysis.py:117``) + odds ratio
+    between High/Low affinity groups (median split on the target)."""
     names = list(DESCRIPTORS)
     threshold = np.median(y)
     hi_mask = y >= threshold
     out = []
     for j, name in enumerate(names):
         hi, lo = desc[hi_mask, j], desc[~hi_mask, j]
-        t, p = welch_ttest(hi, lo)
+        t, p = student_ttest(hi, lo)
         or_, ci_lo, ci_hi = odds_ratio_ci(hi, lo)
         out.append({
             "descriptor": name,

@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from mgat_graphsage_tpu.eval.metrics import pearsonr, regression_metrics
-from mgat_graphsage_tpu.compare.stats import odds_ratio_ci, welch_ttest
+from mgat_graphsage_tpu.compare.stats import (odds_ratio_ci, student_ttest,
+                                              welch_ttest)
 
 
 def test_pearson_matches_scipy():
@@ -47,6 +48,23 @@ def test_welch_ttest_matches_scipy():
     st, sp = stats.ttest_ind(a, b, equal_var=False)
     assert t == pytest.approx(float(st), rel=1e-9)
     assert p == pytest.approx(float(sp), rel=1e-9)
+
+
+def test_student_ttest_matches_scipy_default():
+    """descriptor_statistics must use the reference's scipy ttest_ind
+    DEFAULT (equal_var=True, statistical analysis.py:117), not Welch."""
+    from scipy import stats
+
+    rng = np.random.default_rng(2)
+    a = rng.normal(0, 1, 80)
+    b = rng.normal(0.5, 1.5, 60)
+    t, p = student_ttest(a, b)
+    st, sp = stats.ttest_ind(a, b)          # scipy default
+    assert t == pytest.approx(float(st), rel=1e-9)
+    assert p == pytest.approx(float(sp), rel=1e-9)
+    # and it differs from Welch on heteroscedastic inputs
+    wt, _ = welch_ttest(a, b)
+    assert t != pytest.approx(float(wt), rel=1e-6)
 
 
 def test_odds_ratio_hand_computed():
