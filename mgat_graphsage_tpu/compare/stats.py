@@ -202,7 +202,9 @@ def _rf_importance(desc: np.ndarray, y: np.ndarray,
 
     names = list(DESCRIPTORS)
     labels = (y >= np.median(y)).astype(int)
-    xtr, xte, ytr, yte = train_test_split(desc, labels, test_size=0.25,
+    # reference split: test_size=0.2, random_state=42
+    # (statistical analysis.py:266)
+    xtr, xte, ytr, yte = train_test_split(desc, labels, test_size=0.2,
                                           random_state=42)
     rf = RandomForestClassifier(n_estimators=100, random_state=42)
     rf.fit(xtr, ytr)
