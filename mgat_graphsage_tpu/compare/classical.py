@@ -219,7 +219,7 @@ def comprehensive_modeling(
     the leaderboard sorted by test RMSE (reference
     ``pycaret.py:184-449``)."""
     from sklearn.metrics import mean_absolute_error, mean_squared_error
-    from sklearn.model_selection import KFold, cross_val_score
+    from sklearn.model_selection import cross_val_score
     from sklearn.preprocessing import StandardScaler
 
     models = build_models(seed=seed, fast=fast)
@@ -253,12 +253,13 @@ def comprehensive_modeling(
             r, p = pearsonr(y_test, pred)
             cv_rmse = float("nan")
             if cv_folds and cv_folds > 1:
-                kf = KFold(n_splits=cv_folds, shuffle=True,
-                           random_state=seed)
+                # reference protocol (pycaret.py:315-318): plain cv=5
+                # (unshuffled KFold), neg-MSE scoring, and
+                # cv_rmse = sqrt(mean fold MSE) — NOT a mean of RMSEs
                 scores = cross_val_score(
-                    model, xtr, y_train, cv=kf,
-                    scoring="neg_root_mean_squared_error", n_jobs=1)
-                cv_rmse = float(-scores.mean())
+                    model, xtr, y_train, cv=cv_folds,
+                    scoring="neg_mean_squared_error", n_jobs=1)
+                cv_rmse = float(np.sqrt(-scores.mean()))
             row = {
                 "model": name, "mse": mse, "rmse": float(np.sqrt(mse)),
                 "mae": mae, "pearson_r": r,
