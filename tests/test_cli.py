@@ -65,9 +65,11 @@ def test_explain_cli_artifacts(cli_run):
 
     ckpt, work = cli_run
     out = work / "explain"
+    # the REAL detailed path (GNNExplainer mask optimization) — ~35s at
+    # this scale on CPU; --no-gnnexplainer covers the gradient fallback
+    # elsewhere (test_explain.py)
     explain_main([ckpt, TEST_CSV, "--count", "4", "--threshold", "0.3",
-                  "--out", str(out), "--limit", "24",
-                  "--no-gnnexplainer"])
+                  "--out", str(out), "--limit", "24"])
     report = (out / "analysis_report.txt").read_text()
     assert "Global statistics" in report       # gnnexplainer.py:1652-1664
     assert "+/-" in report                     # prediction mean +/- std
