@@ -70,6 +70,16 @@ class TrainConfig:
     # optimizer pass — the last big stream in the step roofline
     # (docs/DESIGN.md; VERDICT r2 next #4).  Adam arithmetic stays f32.
     master_dtype: str = "float32"
+    # Activation rematerialization (jax.checkpoint around the forward
+    # inside the grad): trades one extra forward's FLOPs for dropping
+    # the saved activations from HBM — the standard lever for pushing
+    # batch size past the memory ceiling on TPU.  Math is equivalent up
+    # to float reassociation in the recomputed forward (~1e-7 relative;
+    # pinned by test), so it is purely a memory/FLOPs dial.  Off by
+    # default: at this model's size the
+    # activations are small next to the 36M-param optimizer state, so
+    # remat only pays at very large batch.
+    remat: bool = False
 
     @property
     def is_hybrid(self) -> bool:

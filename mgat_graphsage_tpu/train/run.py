@@ -45,6 +45,10 @@ def main(argv=None):
                     help="bf16 weight/activation storage in fwd+bwd "
                          "(f32 master params/grads/accumulation; "
                          "see TrainConfig.compute_dtype)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize activations in the backward "
+                         "(jax.checkpoint) — memory for FLOPs, for "
+                         "batch sizes past the HBM ceiling")
     ap.add_argument("--distributed", action="store_true",
                     help="initialize jax.distributed (multi-host; "
                          "coordinator via MGAT_* env vars)")
@@ -62,6 +66,8 @@ def main(argv=None):
         overrides["adam_moment_dtype"] = "bfloat16"
     if args.mixed_precision:
         overrides["compute_dtype"] = "bfloat16"
+    if args.remat:
+        overrides["remat"] = True
     cfg = get_config(args.preset, **overrides)
 
     sm, y = load_csv(args.train_csv)

@@ -277,9 +277,20 @@ class Trainer:
                 new_bs = _cast_tree(new_bs, jnp.float32)
             return pred, latent, unfreeze(new_bs)
 
+        # cfg.remat: recompute the forward during the backward instead of
+        # saving activations (jax.checkpoint) — memory for FLOPs; math
+        # equivalent up to recompute fusion reordering (~1e-7 relative,
+        # pinned by test_trainer).  prevent_cse stays default True so
+        # the recompute isn't folded back in.
+        def fwd_train(p, bs, b, r):
+            return forward(p, bs, b, r, train=True)
+
+        if self.cfg.remat:
+            fwd_train = jax.checkpoint(fwd_train)
+
         def loss_fn(params, batch_stats, batch, rng):
-            pred, latent, new_bs = forward(params, batch_stats, batch, rng,
-                                           train=True)
+            pred, latent, new_bs = fwd_train(params, batch_stats, batch,
+                                             rng)
             mse = _masked_mse(pred, batch["y"], batch["sample_mask"])
             loss = mse
             kl = jnp.float32(0.0)

@@ -357,3 +357,19 @@ def test_resume_training(tmp_path, small_data):
     assert int(np.asarray(s2.step)) == int(np.asarray(s1.step))
     s3, _, h3 = t2.fit(epochs=3, state=s2, start_epoch=2, verbose=False)
     assert int(np.asarray(s3.step)) > int(np.asarray(s2.step))
+
+
+def test_remat_trajectory_matches(small_fp_data):
+    """cfg.remat recomputes the forward in the backward (jax.checkpoint)
+    — a pure memory/FLOPs dial: same loss math, same grads up to
+    recompute fusion reordering (observed ~1e-7 relative on the
+    post-update val MSE; exact equality does NOT hold because XLA
+    fuses the recomputed forward differently)."""
+    train, val = small_fp_data
+    cfg = get_config("flagship", epochs=1, batch_size=32)
+    h0 = Trainer(cfg, train, val).fit(verbose=False)[2]
+    h1 = Trainer(cfg.replace(remat=True), train, val).fit(verbose=False)[2]
+    for a, b in zip(h0, h1):
+        assert a["train_loss"] == pytest.approx(b["train_loss"],
+                                                rel=1e-5), (a, b)
+        assert a["val_mse"] == pytest.approx(b["val_mse"], rel=1e-5), (a, b)
