@@ -45,7 +45,7 @@ PEAK_HBM_GBPS = {
 def flop_model(n_nodes: int, fp_dim: int = 1024, feat: int = 35,
                cnn_fc_hidden: int = 256, batch: int = BATCH_SIZE,
                compute_bytes: int = 4, moment_bytes: int = 4,
-               master_bytes: int = 4):
+               master_bytes: int = 4, n_params: int = None):
     """Analytic cost of ONE flagship train step (batch of `batch` padded
     molecules): (matmul FLOPs, HBM bytes moved).
 
@@ -77,12 +77,14 @@ def flop_model(n_nodes: int, fp_dim: int = 1024, feat: int = 35,
     fwd = batch * (g + c + h)
     flops = 3 * fwd                  # fwd + bwd
 
-    # parameter count (dominant terms)
-    n_params = (128 * fp_dim * cnn_fc_hidden      # fc1
-                + cnn_fc_hidden * fp_dim          # fc2
-                + (1 + fp_dim) * 512              # combined fc1
-                + f * 1500 + 1500 * 128           # graph head
-                + 9 * f * f + 3 * f * f)          # attention + SAGE (approx)
+    # parameter count: exact when the caller passes the initialized
+    # model's count (bench_tpu does); dominant-terms estimate otherwise
+    if n_params is None:
+        n_params = (128 * fp_dim * cnn_fc_hidden  # fc1
+                    + cnn_fc_hidden * fp_dim      # fc2
+                    + (1 + fp_dim) * 512          # combined fc1
+                    + f * 1500 + 1500 * 128       # graph head
+                    + 9 * f * f + 3 * f * f)      # attention+SAGE (approx)
     # gradients are always f32 (bf16 grads measured as a dead end); weight
     # reads inside fwd+bwd ride the compute dtype; master params ride
     # master_bytes (4 normally; 2 under master_dtype='bfloat16', where the
@@ -195,11 +197,14 @@ def bench_tpu(ds) -> float:
         f"molecules/s sustained (loss={loss:.4f})")
 
     # ---- roofline accounting (VERDICT r1 weak #4) ----
+    n_params = int(sum(x.size for x in
+                       jax.tree_util.tree_leaves(state.params)))
     step_flops, step_bytes = flop_model(
         ds.max_nodes, batch=BATCH_SIZE,
         compute_bytes=2 if cfg.compute_dtype == "bfloat16" else 4,
         moment_bytes=2 if cfg.adam_moment_dtype == "bfloat16" else 4,
-        master_bytes=2 if cfg.master_dtype == "bfloat16" else 4)
+        master_bytes=2 if cfg.master_dtype == "bfloat16" else 4,
+        n_params=n_params)
     step_s = dt / n_steps
     achieved_tflops = step_flops / step_s / 1e12
     achieved_gbps = step_bytes / step_s / 1e9
