@@ -315,7 +315,8 @@ def main():
     # vs_baseline is conservative.
     BEST_QUIET_TORCH = 75.0
     cpu_measured = cpu_mol_s
-    baseline_source = "measured"
+    baseline_source = "measured" if np.isfinite(cpu_mol_s) \
+        else "unavailable"
     if np.isfinite(cpu_mol_s) and cpu_mol_s < BEST_QUIET_TORCH:
         log(f"[bench] torch-CPU measured {cpu_mol_s:,.0f} mol/s < "
             f"best-quiet {BEST_QUIET_TORCH:,.0f} (host contention?) — "

@@ -244,10 +244,6 @@ def comprehensive_modeling(
                 xtr, xte = X_train, X_test
             model.fit(xtr, y_train)
             pred = np.asarray(model.predict(xte), dtype=np.float64)
-            predictions[name] = pred
-            if hasattr(model, "feature_importances_"):
-                importances[name] = np.asarray(model.feature_importances_,
-                                               dtype=np.float64)
             mse = float(mean_squared_error(y_test, pred))
             mae = float(mean_absolute_error(y_test, pred))
             r, p = pearsonr(y_test, pred)
@@ -268,6 +264,14 @@ def comprehensive_modeling(
                 "train_time_s": time.time() - t0,
             }
             rows.append(row)
+            # record prediction/importance artifacts only for rows that
+            # fully succeeded (fit + metrics + CV): a model failing in
+            # CV must not leave columns contradicting its 'failed'
+            # leaderboard row
+            predictions[name] = pred
+            if hasattr(model, "feature_importances_"):
+                importances[name] = np.asarray(
+                    model.feature_importances_, dtype=np.float64)
             if verbose:
                 print(f"  [{i:2d}/{len(models)}] {name:<28} "
                       f"RMSE {row['rmse']:.4f}  CV-RMSE {cv_rmse:.4f}  "

@@ -7,7 +7,7 @@ Reproduces the reference pipeline on a ``Smiles,pchembl`` CSV:
   descriptor suite (NumAromaticRings, NumAliphaticRings, NumHAcceptors,
   NumHDonors, NumRotatableBonds, RingCount, TPSA, MolLogP, MolWt,
   HeavyAtomCount, BertzCT);
-- Welch t-test + median-dichotomized odds ratio with 95% CI and the
+- Student's t-test (the reference's scipy default; Welch available) + median-dichotomized odds ratio with 95% CI and the
   Haldane 0.5 correction (``:77-109``);
 - two-panel forest plot (``:135-232``);
 - PCA scatter colored by affinity group (``:244-261``);
@@ -82,8 +82,9 @@ def welch_ttest(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
     except Exception:
         va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
         t = (a.mean() - b.mean()) / math.sqrt(va + vb)
-        # normal approximation
-        p = 2 * 0.5 * math.erfc(abs(t) / math.sqrt(2))
+        # two-sided NORMAL approximation of the t tail (no scipy;
+        # slightly anti-conservative for small samples)
+        p = math.erfc(abs(t) / math.sqrt(2))
         return float(t), float(p)
 
 
@@ -100,7 +101,9 @@ def student_ttest(a: np.ndarray, b: np.ndarray) -> Tuple[float, float]:
         sp2 = ((na - 1) * a.var(ddof=1) + (nb - 1) * b.var(ddof=1)) \
             / (na + nb - 2)
         t = (a.mean() - b.mean()) / math.sqrt(sp2 * (1 / na + 1 / nb))
-        p = 2 * 0.5 * math.erfc(abs(t) / math.sqrt(2))
+        # two-sided NORMAL approximation of the t tail (no scipy;
+        # slightly anti-conservative for small samples)
+        p = math.erfc(abs(t) / math.sqrt(2))
         return float(t), float(p)
 
 
@@ -153,7 +156,7 @@ def _forest_plot(stats_rows: List[Dict], out_path: str) -> str:
     colors = ["#B83B5E" if p < 0.05 else "#999999" for p in ps]
     ax2.barh(ypos, -np.log10(np.maximum(ps, 1e-300)), color=colors)
     ax2.axvline(-math.log10(0.05), color="red", ls="--", lw=1)
-    ax2.set_xlabel("-log10(p)  (Welch t-test)")
+    ax2.set_xlabel("-log10(p)  (Student's t-test)")
     ax2.set_title("Significance")
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)

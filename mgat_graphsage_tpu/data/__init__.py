@@ -22,7 +22,10 @@ import os as _os
 # identical to the committed ones.
 DATASET_DIR = _os.path.join(_os.path.dirname(_os.path.dirname(
     _os.path.dirname(_os.path.abspath(__file__)))), "datasets")
-if not _os.path.isdir(DATASET_DIR):
+# Probe for an actual split file, not the bare directory: in
+# site-packages a foreign "datasets" package (e.g. HuggingFace's) would
+# otherwise satisfy an isdir() check and shadow the cache fallback.
+if not _os.path.isfile(_os.path.join(DATASET_DIR, "train_data.csv")):
     DATASET_DIR = _os.path.join(
         _os.path.expanduser("~"), ".cache", "mgat_graphsage_tpu",
         "datasets")

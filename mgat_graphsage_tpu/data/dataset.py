@@ -107,6 +107,16 @@ def load_csv(path: str, smiles_column: str = "Smiles",
     parses correctly (tests/test_data.py::test_load_csv_quoted_fields).
     Extra columns are ignored; column order is free."""
     import csv
+    import os
+
+    if not os.path.exists(path):
+        # installed-package mode: the bundled split paths point into
+        # ~/.cache and materialize deterministically on first use
+        from . import (FULL_CSV, TEST_CSV, TRAIN_CSV, VAL_CSV,
+                       ensure_bundled_datasets)
+
+        if path in (TRAIN_CSV, VAL_CSV, TEST_CSV, FULL_CSV):
+            ensure_bundled_datasets()
 
     smiles, targets = [], []
     with open(path, newline="") as f:
