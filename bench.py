@@ -131,7 +131,7 @@ def load_data():
     return ds
 
 
-def bench_tpu(ds) -> float:
+def bench_tpu(ds, cpu_fallback: bool = False) -> float:
     """Time the production training path: whole epochs as single jitted
     lax.scan programs over the on-device dataset (one host dispatch per
     epoch — per-step dispatch over the tunneled chip would measure RTT,
@@ -151,7 +151,8 @@ def bench_tpu(ds) -> float:
     # docs/DESIGN.md trace accounting); it remains an opt-in
     # HBM-capacity mode, not a throughput mode.
     preset = os.environ.get("BENCH_PRESET") or (
-        "flagship" if os.environ.get("BENCH_PARITY", "0") == "1"
+        "flagship" if (os.environ.get("BENCH_PARITY", "0") == "1"
+                       or cpu_fallback)  # bf16 is emulated (~30x) on CPU
         else "flagship_bf16")
     cfg = get_config(preset, batch_size=BATCH_SIZE)
     log(f"[bench] preset {preset}: compute_dtype={cfg.compute_dtype}, "
@@ -166,6 +167,22 @@ def bench_tpu(ds) -> float:
     rng, sub = jax.random.split(rng)
     state, m = trainer.train_epoch(state, 0, sub)
     log(f"[bench] TPU compile+first epoch: {time.perf_counter() - t0:.1f}s")
+
+    if cpu_fallback:
+        # No relay RTT to amortize on CPU, and the fused multi-epoch scan
+        # would be a fresh (expensive) compile — time the already-compiled
+        # per-epoch path instead.
+        n_steps = -(-len(ds) // BATCH_SIZE) * TPU_TIMED_EPOCHS
+        t0 = time.perf_counter()
+        for e in range(TPU_TIMED_EPOCHS):
+            rng, sub = jax.random.split(rng)
+            state, m = trainer.train_epoch(state, e + 1, sub)
+        jax.block_until_ready(m)
+        dt = time.perf_counter() - t0
+        mol_s = TPU_TIMED_EPOCHS * len(ds) / dt
+        log(f"[bench] CPU-fallback: {TPU_TIMED_EPOCHS} epochs = {n_steps} "
+            f"steps in {dt:.2f}s -> {mol_s:,.0f} molecules/s")
+        return mol_s, None, None
 
     # sustained device rate: TPU_TIMED_EPOCHS epochs fused into ONE scan
     # dispatch (the tunneled chip adds ~300ms of host RTT per dispatch,
@@ -291,18 +308,36 @@ def bench_torch_cpu(ds) -> float:
 
 
 def main():
-    # a dead backend is FATAL for the bench (perf numbers off-chip would
-    # mislead); the shared bounded probe keeps this process hang-free
+    global N_MOLECULES, TPU_TIMED_EPOCHS
+    # The bench is meaningful on the TPU; when the axon relay is dead
+    # (unrecoverable in-VM — see .claude/skills/verify/SKILL.md) a
+    # clearly-labeled CPU run beats recording nothing for the round.
+    # BENCH_REQUIRE_TPU=1 restores the old fatal behavior.
     from mgat_graphsage_tpu.utils import probe_backend
 
+    backend = "tpu"
     try:
         platform = probe_backend()
         log(f"[bench] backend up: {platform}")
     except RuntimeError as e:
-        log(f"[bench] FATAL: {e}")
-        sys.exit(1)
+        if os.environ.get("BENCH_REQUIRE_TPU", "0") == "1":
+            log(f"[bench] FATAL: {e}")
+            sys.exit(1)
+        log(f"[bench] WARNING: {e}")
+        log("[bench] WARNING: TPU relay dead — falling back to CPU; the "
+            "JSON line carries backend=cpu_fallback and is NOT a chip "
+            "number (see BENCH_r02.json for the last real-TPU result)")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+        backend = "cpu_fallback"
+        # single-core CPU: shrink the workload so the bench still
+        # finishes (2 timed epochs over 1024 molecules)
+        N_MOLECULES = 1024
+        TPU_TIMED_EPOCHS = 2
     ds = load_data()
-    tpu_mol_s, mfu, mbu = bench_tpu(ds)
+    tpu_mol_s, mfu, mbu = bench_tpu(ds, cpu_fallback=(backend != "tpu"))
     try:
         cpu_mol_s = bench_torch_cpu(ds)
     except Exception as e:  # torch missing or OOM: report absolute only
@@ -336,6 +371,7 @@ def main():
         "torch_cpu_measured": (round(cpu_measured, 1)
                                if np.isfinite(cpu_measured) else None),
         "baseline_source": baseline_source,
+        "backend": backend,
     }))
 
 
