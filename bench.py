@@ -166,7 +166,8 @@ def bench_tpu(ds, cpu_fallback: bool = False) -> float:
     t0 = time.perf_counter()
     rng, sub = jax.random.split(rng)
     state, m = trainer.train_epoch(state, 0, sub)
-    log(f"[bench] TPU compile+first epoch: {time.perf_counter() - t0:.1f}s")
+    log(f"[bench] {'CPU' if cpu_fallback else 'TPU'} compile+first epoch: "
+        f"{time.perf_counter() - t0:.1f}s")
 
     if cpu_fallback:
         # No relay RTT to amortize on CPU, and the fused multi-epoch scan
@@ -361,7 +362,7 @@ def main():
         cpu_mol_s = BEST_QUIET_TORCH
         baseline_source = "quiet_floor"
     vs = tpu_mol_s / cpu_mol_s if np.isfinite(cpu_mol_s) else None
-    print(json.dumps({
+    out = {
         "metric": "flagship_train_throughput",
         "value": round(tpu_mol_s, 1),
         "unit": "molecules/sec/chip",
@@ -372,7 +373,29 @@ def main():
                                if np.isfinite(cpu_measured) else None),
         "baseline_source": baseline_source,
         "backend": backend,
-    }))
+    }
+    if backend == "cpu_fallback":
+        # The CPU number is an XLA:CPU emulation of a padded-dense TPU
+        # program (the MXU eats the padding FLOPs; one CPU core cannot) —
+        # carry the last real-chip measurement so the record for this
+        # round still points at the hardware result.
+        try:
+            import glob
+            here = os.path.dirname(os.path.abspath(__file__))
+            for path in sorted(glob.glob(
+                    os.path.join(here, "BENCH_r*.json")), reverse=True):
+                with open(path) as f:
+                    rec = json.load(f)
+                last = rec.get("parsed", rec)  # driver wraps under "parsed"
+                if last and last.get("backend", "tpu") != "cpu_fallback":
+                    out["last_real_tpu_value"] = last.get("value")
+                    out["last_real_tpu_vs_baseline"] = last.get(
+                        "vs_baseline")
+                    out["last_real_tpu_record"] = os.path.basename(path)
+                    break
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
