@@ -20,6 +20,7 @@ consumes fingerprints, which have no per-atom attribution.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -286,7 +287,11 @@ def hybrid_analysis_strategy(
         figure_paths.append(F.substructure_heatmap(
             detailed["per_molecule"],
             os.path.join(output_dir, "substructure_heatmap.png")))
-        # six selected per-molecule panels
+        # six selected per-molecule panels; drop panels from any previous
+        # run first — selection indices change with the model/dataset, and
+        # stale molecule_<i>.png files would mix two generations of output
+        for old in glob.glob(os.path.join(output_dir, "molecule_*.png")):
+            os.remove(old)
         for k, i in enumerate(selected[:6]):
             figure_paths.append(F.molecule_importance_figure(
                 ds.smiles[i], detailed_importances[int(i)],

@@ -65,11 +65,16 @@ def test_explain_cli_artifacts(cli_run):
 
     ckpt, work = cli_run
     out = work / "explain"
+    # a rerun into an existing dir must not leave panels from a previous
+    # selection behind (stale molecule_<i>.png from an older generation)
+    out.mkdir()
+    (out / "molecule_999.png").write_bytes(b"stale")
     # the REAL detailed path (GNNExplainer mask optimization) — ~35s at
     # this scale on CPU; --no-gnnexplainer covers the gradient fallback
     # elsewhere (test_explain.py)
     explain_main([ckpt, TEST_CSV, "--count", "4", "--threshold", "0.3",
                   "--out", str(out), "--limit", "24"])
+    assert not (out / "molecule_999.png").exists()
     report = (out / "analysis_report.txt").read_text()
     assert "Global statistics" in report       # gnnexplainer.py:1652-1664
     assert "+/-" in report                     # prediction mean +/- std
