@@ -155,11 +155,15 @@ class TorchCombinedNet(nn.Module):
 class TorchHybrid(nn.Module):
     """The three reference models jointly, flat layout."""
 
-    def __init__(self, features: int = 35, fp_dim: int = 1024):
+    def __init__(self, features: int = 35, fp_dim: int = 1024,
+                 cnn_fc_hidden: int = 256, cnn_out: int = 0):
+        # cnn_fc_hidden/cnn_out cover the fingerprint-suite width variants
+        # (ecfp=2024.py:125-126 widens fc1 to 512); 0 means output == input
         super().__init__()
+        cnn_out = cnn_out or fp_dim
         self.graph = TorchGraphBranch(features)
-        self.cnn = TorchCNNNet(fp_dim, fp_dim)
-        self.combined = TorchCombinedNet(1 + fp_dim)
+        self.cnn = TorchCNNNet(fp_dim, cnn_out, fc_hidden=cnn_fc_hidden)
+        self.combined = TorchCombinedNet(1 + cnn_out)
 
     def forward(self, x, edge_index, batch, num_graphs, fp):
         g = self.graph(x, edge_index, batch, num_graphs)
