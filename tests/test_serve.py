@@ -1,0 +1,111 @@
+"""HTTP serving endpoint: a live server answering SMILES->pChEMBL.
+
+Trains a tiny flagship checkpoint, starts the stdlib server on an
+ephemeral port, and exercises it like a deployment health check would:
+/health, /predict (including NaN->null alignment for invalid SMILES),
+and the 4xx error paths. The reference has no serving component
+(its inference entry is the batch script ``test.py:149-237``).
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mgat_graphsage_tpu.data import MolecularDataset
+from mgat_graphsage_tpu.train import Trainer, get_config
+
+SMILES = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "c1ccncc1", "CCCC",
+          "CC(C)O", "c1ccc(Cl)cc1"] * 2
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    ckpt_dir = str(tmp_path_factory.mktemp("serve_ckpt"))
+    y = np.linspace(4.0, 9.0, len(SMILES)).astype(np.float32)
+    ds = MolecularDataset(SMILES, y, fit_scaler=True,
+                          fingerprint="ecfp1024", max_nodes=16,
+                          max_edges=32, verbose=False)
+    cfg = get_config("flagship", epochs=1, batch_size=8, eval_batch_size=8)
+    Trainer(cfg, ds, ds, ckpt_dir=ckpt_dir).fit(verbose=False)
+
+    from mgat_graphsage_tpu.serve import make_server
+    srv = make_server(f"{ckpt_dir}/best_model.msgpack", port=0,
+                      batch_size=8)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url, body, raw=False):
+    data = body if raw else json.dumps(body).encode()
+    req = urllib.request.Request(url, data=data,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(server):
+    status, body = _get(server + "/health")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert body["model"] == "flagship"
+    assert body["fingerprint"] == "ecfp1024"
+
+
+def test_predict(server):
+    status, body = _post(server + "/predict", {"smiles": SMILES[:4]})
+    assert status == 200
+    assert body["count"] == 4 and body["model"] == "flagship"
+    assert all(isinstance(p, float) for p in body["predictions"])
+    # deterministic across requests (same compiled program, no state)
+    _, body2 = _post(server + "/predict", {"smiles": SMILES[:4]})
+    assert body2["predictions"] == body["predictions"]
+
+
+def test_predict_single_string_and_nan_alignment(server):
+    status, body = _post(server + "/predict", {"smiles": "CCO"})
+    assert status == 200 and body["count"] == 1
+
+    # invalid SMILES -> null at ITS index; neighbors still predicted
+    status, body = _post(server + "/predict",
+                         {"smiles": ["CCO", "C1CC(", "CCN"]})
+    assert status == 200
+    p = body["predictions"]
+    assert p[1] is None and p[0] is not None and p[2] is not None
+
+
+def test_error_paths(server):
+    status, body = _post(server + "/predict", {"smiles": []})
+    assert status == 400 and "smiles" in body["error"]
+    status, body = _post(server + "/predict", {"smiles": [1, 2]})
+    assert status == 400
+    status, body = _post(server + "/predict", b"not json{", raw=True)
+    assert status == 400 and "bad request" in body["error"]
+    status, body = _post(server + "/nope", {"smiles": ["CCO"]})
+    assert status == 404
+    status, body = _get(server + "/nothere")
+    assert status == 404
+
+
+def test_health_counters_advance(server):
+    _, before = _get(server + "/health")
+    _post(server + "/predict", {"smiles": ["CCO"]})
+    _, after = _get(server + "/health")
+    assert after["requests_served"] == before["requests_served"] + 1
+    assert after["molecules_served"] == before["molecules_served"] + 1
