@@ -103,6 +103,33 @@ def test_error_paths(server):
     assert status == 404
 
 
+def test_concurrent_requests(server):
+    """8 threads hammer /predict; dispatch is lock-serialized, every
+    response is complete and the counters account for all of them."""
+    _, before = _get(server + "/health")
+    results, errors = [], []
+
+    def worker(i):
+        try:
+            status, body = _post(server + "/predict",
+                                 {"smiles": SMILES[i % 4:i % 4 + 3]})
+            results.append((status, body))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert len(results) == 8
+    assert all(s == 200 and b["count"] == 3 for s, b in results)
+    _, after = _get(server + "/health")
+    assert after["requests_served"] == before["requests_served"] + 8
+    assert after["molecules_served"] == before["molecules_served"] + 24
+
+
 def test_health_counters_advance(server):
     _, before = _get(server + "/health")
     _post(server + "/predict", {"smiles": ["CCO"]})
