@@ -39,6 +39,7 @@ from flax import struct
 from flax.core import unfreeze
 
 from ..data import GraphBatch, MolecularDataset
+from ..data.packed import gather_batch, pack_dataset
 from ..models import (
     ChebNet,
     GATGCN,
@@ -192,6 +193,10 @@ class Trainer:
         kl_lambda = cfg.kl_lambda
         mean = jnp.float32(self.scaler.mean_)
         scale = jnp.float32(self.scaler.scale_)
+
+        # Static fingerprint width for the compact-storage unpack (bit-
+        # packing rounds the byte axis up; data/packed.py::gather_batch)
+        fp_dim = self.train_ds.fp.shape[1]
 
         # Data-parallel SPMD: batches gathered on device inside the epoch
         # scan are constrained to the mesh's `data` axis, so XLA partitions
@@ -369,10 +374,7 @@ class Trainer:
             """
             def gather(inp):
                 idx, smask = inp
-                batch = {k: v[idx] for k, v in data.items()
-                         if k not in ("y", "y_orig")}
-                batch["y"] = data["y"][idx]
-                batch["y_orig"] = data["y_orig"][idx]
+                batch = gather_batch(data, idx, fp_dim)
                 batch["sample_mask"] = smask
                 return constrain(batch)
 
@@ -410,10 +412,7 @@ class Trainer:
                       sample_masks: jnp.ndarray, data):
             def body(_, inp):
                 idx, smask = inp
-                batch = {k: v[idx] for k, v in data.items()
-                         if k not in ("y", "y_orig")}
-                batch["y"] = data["y"][idx]
-                batch["y_orig"] = data["y_orig"][idx]
+                batch = gather_batch(data, idx, fp_dim)
                 batch["sample_mask"] = smask
                 batch = constrain(batch)
                 pred, dn, mse, omse = eval_step(state, batch)
@@ -445,11 +444,21 @@ class Trainer:
         cache = getattr(self, "_dev_cache", {})
         key = id(ds)
         if key not in cache:
-            host = {
-                "nodes": ds.nodes, "edges": ds.edges,
-                "node_mask": ds.node_mask, "edge_mask": ds.edge_mask,
-                "fp": ds.fp, "y": ds.y, "y_orig": ds.y_orig,
-            }
+            if self.cfg.dataset_storage not in ("float32", "compact"):
+                raise ValueError(
+                    f"dataset_storage={self.cfg.dataset_storage!r}; "
+                    "expected 'float32' or 'compact'")
+            if self.cfg.dataset_storage == "compact":
+                # ~5.3x smaller HBM footprint, bit-exact unpack per batch
+                # inside the scan (data/packed.py) — the one-chip capacity
+                # dial for 10^6+-molecule datasets
+                host = pack_dataset(ds)
+            else:
+                host = {
+                    "nodes": ds.nodes, "edges": ds.edges,
+                    "node_mask": ds.node_mask, "edge_mask": ds.edge_mask,
+                    "fp": ds.fp, "y": ds.y, "y_orig": ds.y_orig,
+                }
             if self.mesh is not None:
                 dev = replicate(host, self.mesh)
             else:

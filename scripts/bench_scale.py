@@ -1,0 +1,136 @@
+"""HBM-capacity scale benchmark: compact vs float32 device-resident
+datasets (data/packed.py, ``TrainConfig.dataset_storage``).
+
+The epoch-scan trainer keeps the whole dataset in HBM.  This measures,
+on the real chip, (a) that ``dataset_storage="compact"`` does not slow
+the step (the per-batch unpack is VPU-trivial next to the weight-bound
+step), and (b) the capacity headline: dataset sizes whose plain float32
+layout cannot fit a 16 GB v5e train fine packed.
+
+Molecule count is scaled by tiling the bundled train split's featurized
+arrays on the host (the chip doesn't care that rows repeat; the step
+cost per molecule is shape-determined).  Host->device transfer happens
+once and is reported separately from steady-state epoch time.
+
+Usage (on the TPU):
+  python scripts/bench_scale.py --sizes 16384 262144 --storage both
+  python scripts/bench_scale.py --sizes 1000000 --storage compact
+"""
+
+import argparse
+import copy
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from mgat_graphsage_tpu.data import MolecularDataset, load_csv, TRAIN_CSV
+from mgat_graphsage_tpu.data.packed import packed_nbytes, plain_nbytes
+from mgat_graphsage_tpu.train import Trainer, get_config
+
+GIB = 1024 ** 3
+
+
+def tiled_dataset(base: MolecularDataset, n: int) -> MolecularDataset:
+    """A dataset-shaped view with ``base``'s rows tiled to ``n``."""
+    reps = -(-n // len(base))
+    ds = copy.copy(base)
+    for key in ("nodes", "edges", "node_mask", "edge_mask", "fp",
+                "y", "y_orig"):
+        v = getattr(base, key)
+        setattr(ds, key, np.concatenate([v] * reps, axis=0)[:n])
+    ds.n = n
+    return ds
+
+
+def bench_one(base, n, storage, batch_size):
+    ds = tiled_dataset(base, n)
+    plain_gb = plain_nbytes(ds) / GIB
+    packed_gb = packed_nbytes(ds) / GIB
+    cfg = get_config("flagship", batch_size=batch_size,
+                     adam_moment_dtype="bfloat16",
+                     compute_dtype="bfloat16",
+                     dataset_storage=storage)
+    trainer = Trainer(cfg, ds, None)
+    state = trainer.init_state()
+    trainer._build_steps()
+
+    t0 = time.perf_counter()
+    data = jax.block_until_ready(trainer._device_dataset(ds))
+    transfer_s = time.perf_counter() - t0
+
+    rng = jax.random.PRNGKey(0)
+    perm, smask = trainer._epoch_indices(n, batch_size,
+                                         np.random.default_rng(0))
+    n_steps = perm.shape[0]
+    # compile + relay warmup with the exact epoch programme (scan trip
+    # count is static, so a shorter warmup would compile a second time
+    # inside the timed loop).  The state argument is donated — thread it.
+    state, m = trainer._train_epoch_scan(state, perm, smask, rng, data)
+    jax.block_until_ready(m)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, m = trainer._train_epoch_scan(state, perm, smask, rng,
+                                             data)
+        float(m)
+        best = min(best, time.perf_counter() - t0)
+    row = {
+        "n_molecules": n, "storage": storage, "batch_size": batch_size,
+        "dataset_gb_plain": round(plain_gb, 3),
+        "dataset_gb_packed": round(packed_gb, 3),
+        "dataset_gb_resident": round(
+            packed_gb if storage == "compact" else plain_gb, 3),
+        "transfer_s": round(transfer_s, 2),
+        "epoch_s": round(best, 3),
+        "ms_per_step": round(best / n_steps * 1e3, 4),
+        "mol_per_s": round(n_steps * batch_size / best, 1),
+    }
+    print(f"[bench_scale] n={n:>9,} {storage:8s} "
+          f"resident={row['dataset_gb_resident']:.2f} GiB "
+          f"xfer={transfer_s:.1f}s epoch={best:.2f}s "
+          f"{row['ms_per_step']:.3f} ms/step {row['mol_per_s']:,.0f} mol/s",
+          file=sys.stderr)
+    # free the device dataset before the next size
+    getattr(trainer, "_dev_cache", {}).clear()
+    del data, trainer, state
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="+",
+                    default=[16384, 262144])
+    ap.add_argument("--storage", choices=["float32", "compact", "both"],
+                    default="both")
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--out", default="BENCH_SCALE.json")
+    args = ap.parse_args()
+
+    sm, y = load_csv(TRAIN_CSV)
+    base = MolecularDataset(sm, y, fit_scaler=True,
+                            fingerprint="ecfp1024", verbose=False)
+    print(f"[bench_scale] base: {len(base)} molecules, "
+          f"shapes N={base.max_nodes} E={base.max_edges}", file=sys.stderr)
+
+    rows = []
+    for n in args.sizes:
+        modes = (["float32", "compact"] if args.storage == "both"
+                 else [args.storage])
+        for storage in modes:
+            rows.append(bench_one(base, n, storage, args.batch_size))
+
+    out = {"device": jax.devices()[0].device_kind, "rows": rows}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
