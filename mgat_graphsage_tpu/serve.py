@@ -20,13 +20,25 @@ index-aligned predictions array (the Predictor's NaN rows), never as a
 dropped element. Device dispatch is serialized with a lock: one JAX
 client owns the chip, and interleaved dispatch from request threads
 would contend rather than parallelize.
+
+**Request coalescing** (``--coalesce-ms``): each predict call is one
+device dispatch, and on a TPU the dispatch round trip — not the
+forward pass — dominates small requests, so N concurrent clients get
+N serialized round trips. With a coalescing window, concurrent
+requests are merged into ONE featurize + ONE bucketed dispatch (the
+serving analogue of an LLM server's continuous batching; natural fit
+for the fixed-shape bucket program) and the results are split back
+per request. Solo requests pay up to the window in extra latency —
+keep it at a few ms in production; 0 (default) disables coalescing.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
 
@@ -36,6 +48,19 @@ __all__ = ["PredictionServer", "make_server", "main"]
 
 MAX_BODY_BYTES = 16 << 20   # 16 MiB ≈ 200k generous SMILES per request
 MAX_BATCH = 100_000
+MAX_COALESCE = 4096         # molecules per merged dispatch (bucket cap)
+
+
+class _Pending:
+    """One enqueued predict request awaiting the coalescing worker."""
+
+    __slots__ = ("smiles", "event", "result", "error")
+
+    def __init__(self, smiles: List[str]):
+        self.smiles = smiles
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[Exception] = None
 
 
 class PredictionServer:
@@ -46,15 +71,76 @@ class PredictionServer:
     """
 
     def __init__(self, ckpt_path: str, infer_dtype: Optional[str] = None,
-                 batch_size: int = 64):
+                 batch_size: int = 64, coalesce_ms: float = 0.0):
         from .eval.predict import Predictor
 
         self.predictor = Predictor(ckpt_path, infer_dtype=infer_dtype)
         self.batch_size = int(batch_size)
         self.ckpt_path = ckpt_path
+        self.coalesce_ms = float(coalesce_ms)
         self._lock = threading.Lock()
         self._requests = 0
         self._molecules = 0
+        self._dispatches = 0
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        if self.coalesce_ms > 0:
+            self.enable_coalescing(self.coalesce_ms)
+
+    def enable_coalescing(self, window_ms: float) -> None:
+        """Turn on request coalescing on a live backend (idempotent)."""
+        self.coalesce_ms = float(window_ms)
+        if self.coalesce_ms > 0 and self._worker is None:
+            self._worker = threading.Thread(target=self._coalesce_loop,
+                                            daemon=True)
+            self._worker.start()
+
+    def close(self) -> None:
+        """Stop the coalescing worker (flushes nothing: pending requests
+        already in the queue are still served before the sentinel)."""
+        if self._worker is not None:
+            self._queue.put(None)
+            self._worker.join(timeout=60)
+            self._worker = None
+
+    # -- coalescing worker ------------------------------------------------
+    def _coalesce_loop(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            group = [item]
+            total = len(item.smiles)
+            deadline = time.monotonic() + self.coalesce_ms / 1e3
+            while total < MAX_COALESCE:
+                wait = deadline - time.monotonic()
+                try:
+                    nxt = (self._queue.get(timeout=wait) if wait > 0
+                           else self._queue.get_nowait())
+                except queue.Empty:
+                    break
+                if nxt is None:          # shutdown: serve this group first
+                    self._queue.put(None)
+                    break
+                group.append(nxt)
+                total += len(nxt.smiles)
+            flat = [s for it in group for s in it.smiles]
+            try:
+                with self._lock:
+                    preds = self.predictor(flat, batch_size=self.batch_size)
+                    self._dispatches += 1
+                    self._requests += len(group)
+                    self._molecules += total
+            except Exception as e:  # noqa: BLE001 — deliver to each waiter
+                for it in group:
+                    it.error = e
+                    it.event.set()
+                continue
+            off = 0
+            for it in group:
+                it.result = preds[off:off + len(it.smiles)]
+                off += len(it.smiles)
+                it.event.set()
 
     # -- endpoint bodies ------------------------------------------------
     def health(self) -> dict:
@@ -68,6 +154,8 @@ class PredictionServer:
             "max_edges": self.predictor.max_edges,
             "requests_served": self._requests,
             "molecules_served": self._molecules,
+            "device_dispatches": self._dispatches,
+            "coalesce_ms": self.coalesce_ms,
         }
 
     def predict_payload(self, payload: dict) -> dict:
@@ -83,10 +171,21 @@ class PredictionServer:
             raise ValueError(
                 f"at most {MAX_BATCH} molecules per request "
                 f"(got {len(smiles)}); split the input")
-        with self._lock:
-            preds = self.predictor(smiles, batch_size=self.batch_size)
-            self._requests += 1
-            self._molecules += len(smiles)
+        if self._worker is not None:
+            pending = _Pending(smiles)
+            self._queue.put(pending)
+            if not pending.event.wait(timeout=600):
+                raise RuntimeError("prediction timed out in the "
+                                   "coalescing queue")
+            if pending.error is not None:
+                raise pending.error
+            preds = pending.result
+        else:
+            with self._lock:
+                preds = self.predictor(smiles, batch_size=self.batch_size)
+                self._dispatches += 1
+                self._requests += 1
+                self._molecules += len(smiles)
         out: List[Optional[float]] = [
             None if not np.isfinite(p) else float(p) for p in preds]
         return {"predictions": out, "model": self.predictor.cfg.name,
@@ -95,11 +194,13 @@ class PredictionServer:
 
 def make_server(ckpt_path: str, host: str = "127.0.0.1", port: int = 8080,
                 infer_dtype: Optional[str] = None,
-                batch_size: int = 64) -> ThreadingHTTPServer:
+                batch_size: int = 64,
+                coalesce_ms: float = 0.0) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` picks a free
     port (``server.server_address[1]`` reports it — used by tests)."""
     backend = PredictionServer(ckpt_path, infer_dtype=infer_dtype,
-                               batch_size=batch_size)
+                               batch_size=batch_size,
+                               coalesce_ms=coalesce_ms)
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "mgat-serve/1.0"
@@ -161,10 +262,15 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--infer-dtype", default=None,
                    help="e.g. bfloat16 for bf16 serving")
+    p.add_argument("--coalesce-ms", type=float, default=0.0,
+                   help="merge concurrent requests arriving within this "
+                        "window into one device dispatch (0 = off); solo "
+                        "requests pay up to the window in extra latency")
     args = p.parse_args(argv)
     server = make_server(args.ckpt, args.host, args.port,
                          infer_dtype=args.infer_dtype,
-                         batch_size=args.batch_size)
+                         batch_size=args.batch_size,
+                         coalesce_ms=args.coalesce_ms)
     host, port = server.server_address[:2]
     print(f"serving {args.ckpt} on http://{host}:{port} "
           f"(POST /predict, GET /health)")
@@ -172,6 +278,7 @@ def main(argv=None):
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+        server.backend.close()
 
 
 if __name__ == "__main__":

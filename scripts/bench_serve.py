@@ -141,6 +141,8 @@ def main():
         "featurize_ms": round(feat_p50 * 1e3, 1),
         "device_and_dispatch_ms": round((predictor_p50 - feat_p50) * 1e3, 1),
         "http_overhead_ms": round((http_p50 - predictor_p50) * 1e3, 1),
+        "note": "components timed in separate passes; relay jitter can "
+                "push the http residual slightly negative",
     }
     print(f"[bench_serve] split @512: featurize "
           f"{record['split_512']['featurize_ms']:.0f} ms, device+dispatch "
@@ -149,33 +151,59 @@ def main():
           file=sys.stderr)
 
     # -- 8 concurrent clients, size-64 requests --------------------------
+    # measured twice: lock-serialized dispatch (one round trip per
+    # request) vs request coalescing (concurrent requests merged into
+    # one featurize + one bucketed dispatch)
     n_clients, reqs_each = 8, 4
     batch64 = [test_sm[i % len(test_sm)] for i in range(64)]
-    errors = []
 
-    def client():
-        try:
-            _time_requests(url, batch64, reqs_each)
-        except Exception as e:  # noqa: BLE001 — surface in the record
-            errors.append(repr(e))
+    def concurrent_run():
+        errors = []
 
-    threads = [threading.Thread(target=client) for _ in range(n_clients)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-    total_mol = n_clients * reqs_each * 64
-    record["concurrent"] = {
-        "clients": n_clients, "requests_per_client": reqs_each,
-        "request_size": 64, "wall_s": round(wall, 2),
-        "aggregate_mol_per_s": round(total_mol / wall, 1),
-        "errors": errors,
-    }
-    print(f"[bench_serve] {n_clients} concurrent clients: "
+        def client():
+            try:
+                _time_requests(url, batch64, reqs_each)
+            except Exception as e:  # noqa: BLE001 — surface in the record
+                errors.append(repr(e))
+
+        threads = [threading.Thread(target=client)
+                   for _ in range(n_clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        total_mol = n_clients * reqs_each * 64
+        return {"clients": n_clients, "requests_per_client": reqs_each,
+                "request_size": 64, "wall_s": round(wall, 2),
+                "aggregate_mol_per_s": round(total_mol / wall, 1),
+                "errors": errors}
+
+    before = backend._dispatches
+    record["concurrent"] = concurrent_run()
+    record["concurrent"]["device_dispatches"] = backend._dispatches - before
+    print(f"[bench_serve] {n_clients} concurrent clients (serialized): "
           f"{record['concurrent']['aggregate_mol_per_s']:,.0f} mol/s "
-          f"aggregate ({len(errors)} errors)", file=sys.stderr)
+          f"aggregate, {record['concurrent']['device_dispatches']} "
+          f"dispatches ({len(record['concurrent']['errors'])} errors)",
+          file=sys.stderr)
+
+    backend.enable_coalescing(10.0)
+    concurrent_run()  # warm the coalesced bucket shapes
+    before = backend._dispatches
+    record["concurrent_coalesced"] = concurrent_run()
+    record["concurrent_coalesced"]["coalesce_ms"] = 10.0
+    record["concurrent_coalesced"]["device_dispatches"] = \
+        backend._dispatches - before
+    print(f"[bench_serve] {n_clients} concurrent clients (coalesced "
+          f"10 ms): "
+          f"{record['concurrent_coalesced']['aggregate_mol_per_s']:,.0f} "
+          f"mol/s aggregate, "
+          f"{record['concurrent_coalesced']['device_dispatches']} "
+          f"dispatches "
+          f"({len(record['concurrent_coalesced']['errors'])} errors)",
+          file=sys.stderr)
 
     if platform != "tpu":
         record["note"] = (f"measured on '{platform}', not the TPU — "
@@ -185,6 +213,7 @@ def main():
                           "RTT a locally-attached chip does not")
 
     server.shutdown()
+    server.backend.close()
     with open(args.out, "w") as f:
         json.dump(record, f, indent=2)
     print(f"[bench_serve] wrote {os.path.abspath(args.out)}",

@@ -23,7 +23,7 @@ SMILES = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "c1ccncc1", "CCCC",
 
 
 @pytest.fixture(scope="module")
-def server(tmp_path_factory):
+def ckpt(tmp_path_factory):
     ckpt_dir = str(tmp_path_factory.mktemp("serve_ckpt"))
     y = np.linspace(4.0, 9.0, len(SMILES)).astype(np.float32)
     ds = MolecularDataset(SMILES, y, fit_scaler=True,
@@ -31,10 +31,13 @@ def server(tmp_path_factory):
                           max_edges=32, verbose=False)
     cfg = get_config("flagship", epochs=1, batch_size=8, eval_batch_size=8)
     Trainer(cfg, ds, ds, ckpt_dir=ckpt_dir).fit(verbose=False)
+    return f"{ckpt_dir}/best_model.msgpack"
 
+
+@pytest.fixture(scope="module")
+def server(ckpt):
     from mgat_graphsage_tpu.serve import make_server
-    srv = make_server(f"{ckpt_dir}/best_model.msgpack", port=0,
-                      batch_size=8)
+    srv = make_server(ckpt, port=0, batch_size=8)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
@@ -136,3 +139,53 @@ def test_health_counters_advance(server):
     _, after = _get(server + "/health")
     assert after["requests_served"] == before["requests_served"] + 1
     assert after["molecules_served"] == before["molecules_served"] + 1
+    assert after["device_dispatches"] == before["device_dispatches"] + 1
+
+
+def test_request_coalescing(ckpt):
+    """Concurrent requests inside the window merge into FEWER device
+    dispatches, with per-request results identical to solo serving."""
+    from mgat_graphsage_tpu.serve import PredictionServer
+
+    backend = PredictionServer(ckpt, batch_size=8, coalesce_ms=500.0)
+    try:
+        # solo request first: correctness + the compile warmup, so the
+        # concurrent round below fits inside one 500 ms window
+        solo = backend.predict_payload({"smiles": SMILES[:3]})
+        assert solo["count"] == 3
+
+        requests = [SMILES[i:i + 3] for i in range(4)]
+        requests[2] = ["CCO", "C1CC(", "CCN"]   # NaN row stays aligned
+        results = [None] * len(requests)
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = backend.predict_payload(
+                    {"smiles": requests[i]})
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        before = backend.health()
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(requests))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        after = backend.health()
+
+        assert not errors, errors
+        merged_dispatches = (after["device_dispatches"]
+                             - before["device_dispatches"])
+        assert merged_dispatches < len(requests), (
+            f"no coalescing happened: {merged_dispatches} dispatches "
+            f"for {len(requests)} concurrent requests")
+        assert after["requests_served"] - before["requests_served"] == 4
+        # split-back correctness: each coalesced answer == solo answer
+        for req, res in zip(requests, results):
+            ref = backend.predictor(req, batch_size=8)
+            got = [np.nan if p is None else p for p in res["predictions"]]
+            np.testing.assert_allclose(got, ref, rtol=1e-6)
+    finally:
+        backend.close()
