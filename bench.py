@@ -396,8 +396,16 @@ def last_real_tpu_record(dirpath):
     record exists or every candidate is unreadable.
     """
     import glob
-    for path in sorted(glob.glob(
-            os.path.join(dirpath, "BENCH_r*.json")), reverse=True):
+    import re
+
+    def round_no(p):
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    # Sort by the numeric round suffix — lexicographic order would rank
+    # r99 above r100.
+    for path in sorted(glob.glob(os.path.join(dirpath, "BENCH_r*.json")),
+                       key=round_no, reverse=True):
         try:
             with open(path) as f:
                 rec = json.load(f)

@@ -67,6 +67,17 @@ def pack_dataset(ds) -> Dict[str, np.ndarray]:
         "n_atoms": ds.node_mask.sum(axis=1).astype(np.int32),
         "n_edges": ds.edge_mask.sum(axis=1).astype(np.int32),
     }
+    # The count->mask reconstruction in gather_batch assumes leading-ones
+    # masks. dataset.py builds them that way, but verify rather than
+    # trust the caller — a scattered mask would otherwise train on
+    # silently wrong masking.
+    for mask, counts, what in ((ds.node_mask, packed["n_atoms"], "node"),
+                               (ds.edge_mask, packed["n_edges"], "edge")):
+        rebuilt = (np.arange(mask.shape[1])[None, :]
+                   < counts[:, None]).astype(mask.dtype)
+        if not np.array_equal(np.asarray(mask), rebuilt):
+            raise ValueError(
+                f"{what}_mask is not leading-ones; cannot pack to counts")
     edge_dtype = np.uint8 if ds.max_nodes <= 256 else np.uint16
     if ds.edges.min() < 0 or ds.edges.max() >= max(ds.max_nodes, 1):
         raise ValueError("edge indices outside [0, max_nodes)")

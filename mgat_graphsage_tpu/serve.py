@@ -41,6 +41,7 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional
+from urllib.parse import urlsplit
 
 import numpy as np
 
@@ -77,31 +78,49 @@ class PredictionServer:
         self.predictor = Predictor(ckpt_path, infer_dtype=infer_dtype)
         self.batch_size = int(batch_size)
         self.ckpt_path = ckpt_path
-        self.coalesce_ms = float(coalesce_ms)
+        self.coalesce_ms = 0.0
         self._lock = threading.Lock()
+        # Guards the worker lifecycle AND every enqueue: a request must
+        # never land on the queue after the shutdown sentinel, or it
+        # would wait out the full timeout unserved.
+        self._state_lock = threading.Lock()
         self._requests = 0
         self._molecules = 0
         self._dispatches = 0
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
-        if self.coalesce_ms > 0:
-            self.enable_coalescing(self.coalesce_ms)
+        if float(coalesce_ms) > 0:
+            self.enable_coalescing(coalesce_ms)
 
     def enable_coalescing(self, window_ms: float) -> None:
-        """Turn on request coalescing on a live backend (idempotent)."""
-        self.coalesce_ms = float(window_ms)
-        if self.coalesce_ms > 0 and self._worker is None:
-            self._worker = threading.Thread(target=self._coalesce_loop,
-                                            daemon=True)
-            self._worker.start()
+        """Set the coalescing window on a live backend (idempotent).
+
+        ``window_ms <= 0`` stops the worker — subsequent requests take
+        the direct dispatch path — so the toggle is symmetric.
+        """
+        worker = None
+        with self._state_lock:
+            self.coalesce_ms = max(float(window_ms), 0.0)
+            if self.coalesce_ms > 0:
+                if self._worker is None:
+                    self._worker = threading.Thread(
+                        target=self._coalesce_loop, daemon=True)
+                    self._worker.start()
+                return
+            worker, self._worker = self._worker, None
+            if worker is not None:
+                # Enqueued under the same lock as requests, so every
+                # already-accepted request is ahead of the sentinel
+                # (FIFO) and still gets served.
+                self._queue.put(None)
+        if worker is not None:
+            worker.join(timeout=60)
 
     def close(self) -> None:
-        """Stop the coalescing worker (flushes nothing: pending requests
-        already in the queue are still served before the sentinel)."""
-        if self._worker is not None:
-            self._queue.put(None)
-            self._worker.join(timeout=60)
-            self._worker = None
+        """Stop the coalescing worker. Requests already accepted into
+        the queue are served before the sentinel; later requests fall
+        back to direct dispatch."""
+        self.enable_coalescing(0.0)
 
     # -- coalescing worker ------------------------------------------------
     def _coalesce_loop(self) -> None:
@@ -171,9 +190,12 @@ class PredictionServer:
             raise ValueError(
                 f"at most {MAX_BATCH} molecules per request "
                 f"(got {len(smiles)}); split the input")
-        if self._worker is not None:
-            pending = _Pending(smiles)
-            self._queue.put(pending)
+        pending = None
+        with self._state_lock:
+            if self._worker is not None:
+                pending = _Pending(smiles)
+                self._queue.put(pending)
+        if pending is not None:
             if not pending.event.wait(timeout=600):
                 raise RuntimeError("prediction timed out in the "
                                    "coalescing queue")
@@ -213,15 +235,21 @@ def make_server(ckpt_path: str, host: str = "127.0.0.1", port: int = 8080,
             self.end_headers()
             self.wfile.write(body)
 
+        def _route(self) -> str:
+            # self.path carries the raw query string; health checkers
+            # routinely append one (GET /health?timeout=5) — route on
+            # the path component only.
+            return urlsplit(self.path).path.rstrip("/")
+
         def do_GET(self):  # noqa: N802 (http.server API)
-            if self.path.rstrip("/") in ("", "/health"):
+            if self._route() in ("", "/health"):
                 self._reply(200, backend.health())
             else:
                 self._reply(404, {"error": f"unknown path {self.path}; "
                                            f"GET /health or POST /predict"})
 
         def do_POST(self):  # noqa: N802
-            if self.path.rstrip("/") != "/predict":
+            if self._route() != "/predict":
                 self._reply(404, {"error": f"unknown path {self.path}; "
                                            f"POST /predict"})
                 return

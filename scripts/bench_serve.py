@@ -26,6 +26,7 @@ Writes BENCH_SERVE.json.
 
 import argparse
 import json
+import math
 import os
 import statistics
 import sys
@@ -108,7 +109,10 @@ def main():
         _time_requests(url, batch, 2)  # per-bucket compile + relay warmup
         times = _time_requests(url, batch, args.repeats)
         p50 = statistics.median(times)
-        p95 = sorted(times)[max(0, int(round(0.95 * len(times))) - 1)]
+        # nearest-rank p95: ceil(0.95*n)-1 (round() would pick ~p92 at
+        # n=12 and systematically exclude the worst sample)
+        p95 = sorted(times)[min(len(times) - 1,
+                                max(0, math.ceil(0.95 * len(times)) - 1))]
         rec = {"p50_ms": round(p50 * 1e3, 1), "p95_ms": round(p95 * 1e3, 1),
                "mol_per_s_at_p50": round(size / p50, 1)}
         record["sizes"][str(size)] = rec

@@ -6,9 +6,11 @@ BENCH_r*.json round records (driver format: JSON line wrapped under a
 "parsed" key) so the round record still points at hardware numbers.
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 from bench import last_real_tpu_record
 
@@ -61,5 +63,16 @@ def test_empty_dir_and_malformed_records(tmp_path):
 
 def test_repo_records_resolve_to_real_tpu():
     # the committed round records must yield a real-chip pointer
-    out = last_real_tpu_record("/root/repo")
+    out = last_real_tpu_record(REPO_ROOT)
     assert out and out["last_real_tpu_value"] > 1000
+
+
+def test_newest_by_numeric_round_not_lexicographic(tmp_path):
+    # 'BENCH_r9.json' > 'BENCH_r10.json' lexicographically; the scraper
+    # must sort by the numeric suffix
+    _write(tmp_path / "BENCH_r9.json",
+           {"value": 9.0, "vs_baseline": 1.0, "backend": "tpu"})
+    _write(tmp_path / "BENCH_r10.json",
+           {"value": 10.0, "vs_baseline": 2.0, "backend": "tpu"})
+    out = last_real_tpu_record(str(tmp_path))
+    assert out["last_real_tpu_record"] == "BENCH_r10.json"

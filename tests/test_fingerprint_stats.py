@@ -20,12 +20,13 @@ Measured 2026-08-18 on datasets/train_data.csv[:400] (frozen, seed 42):
   salted-hash density drift 0.26%; Tanimoto mean |diff| 0.015.
 """
 import csv
+import os
 import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import mgat_graphsage_tpu.chem.fingerprints as FP
 from mgat_graphsage_tpu.chem.smiles import parse_smiles

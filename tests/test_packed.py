@@ -128,3 +128,17 @@ def test_pack_rejects_non_integral_nodes(fp_data):
     ds.nodes[0, 0, 0] = 0.5
     with pytest.raises(ValueError, match="non-integral"):
         pack_dataset(ds)
+
+
+def test_pack_rejects_non_leading_ones_mask(fp_data):
+    """Counts can only represent leading-ones masks; a scattered mask
+    must be a loud error, not silent mask corruption (the packed path's
+    bit-exact guarantee)."""
+    train, _ = fp_data
+    import copy
+    ds = copy.copy(train)
+    ds.node_mask = train.node_mask.copy()
+    ds.node_mask[0, :] = 0.0
+    ds.node_mask[0, -1] = 1.0          # same count, wrong positions
+    with pytest.raises(ValueError, match="leading-ones"):
+        pack_dataset(ds)

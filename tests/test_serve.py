@@ -189,3 +189,42 @@ def test_request_coalescing(ckpt):
             np.testing.assert_allclose(got, ref, rtol=1e-6)
     finally:
         backend.close()
+
+
+def test_query_strings_do_not_break_routing(server):
+    """Health checkers routinely append query params; route on the path
+    component only (regression: raw self.path matching returned 404)."""
+    status, body = _get(server + "/health?timeout=5")
+    assert status == 200 and body["status"] == "ok"
+    status, body = _post(server + "/predict?trace=1", {"smiles": ["CCO"]})
+    assert status == 200 and body["count"] == 1
+
+
+def test_coalescing_toggle_off_and_safe_close(ckpt):
+    """enable_coalescing(0) actually stops the worker (not just the
+    reported window), and requests after close() fall back to the
+    direct dispatch path instead of hanging on a dead queue."""
+    from mgat_graphsage_tpu.serve import PredictionServer
+
+    backend = PredictionServer(ckpt, batch_size=8, coalesce_ms=200.0)
+    try:
+        assert backend._worker is not None
+        backend.enable_coalescing(0.0)
+        assert backend._worker is None
+        assert backend.health()["coalesce_ms"] == 0.0
+        out = backend.predict_payload({"smiles": ["CCO"]})
+        assert out["count"] == 1
+
+        # negative window is clamped, never enqueues
+        backend.enable_coalescing(-5.0)
+        assert backend.coalesce_ms == 0.0 and backend._worker is None
+
+        # re-enable, then close(): later requests must still be served
+        backend.enable_coalescing(200.0)
+        assert backend._worker is not None
+        backend.close()
+        assert backend._worker is None
+        out = backend.predict_payload({"smiles": ["CCN", "CCO"]})
+        assert out["count"] == 2
+    finally:
+        backend.close()
