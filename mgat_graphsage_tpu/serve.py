@@ -37,6 +37,7 @@ from __future__ import annotations
 import argparse
 import json
 import queue
+import signal
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -45,7 +46,8 @@ from urllib.parse import urlsplit
 
 import numpy as np
 
-__all__ = ["PredictionServer", "make_server", "main"]
+__all__ = ["PredictionServer", "make_server", "serve_until_signalled",
+           "main"]
 
 MAX_BODY_BYTES = 16 << 20   # 16 MiB ≈ 200k generous SMILES per request
 MAX_BATCH = 100_000
@@ -279,6 +281,31 @@ def make_server(ckpt_path: str, host: str = "127.0.0.1", port: int = 8080,
     return server
 
 
+def serve_until_signalled(server: ThreadingHTTPServer) -> None:
+    """Serve until SIGTERM or Ctrl-C, then shut down cleanly.
+
+    Process supervisors (systemd, docker stop, kubernetes) deliver
+    SIGTERM; without a handler the process dies mid-request and any
+    coalescing worker is killed with requests still queued. The handler
+    calls ``server.shutdown()`` from a helper thread (calling it from
+    the signal frame inside ``serve_forever`` would deadlock), and the
+    backend is always closed — draining accepted requests — on the way
+    out. Must run in the main thread (CPython signal API restriction);
+    the previous SIGTERM disposition is restored on return.
+    """
+    def _term(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    prev = signal.signal(signal.SIGTERM, _term)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+        server.backend.close()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="Serve SMILES->pChEMBL predictions over HTTP")
@@ -302,11 +329,7 @@ def main(argv=None):
     host, port = server.server_address[:2]
     print(f"serving {args.ckpt} on http://{host}:{port} "
           f"(POST /predict, GET /health)")
-    try:
-        server.serve_forever()
-    except KeyboardInterrupt:
-        server.shutdown()
-        server.backend.close()
+    serve_until_signalled(server)
 
 
 if __name__ == "__main__":

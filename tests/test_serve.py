@@ -228,3 +228,28 @@ def test_coalescing_toggle_off_and_safe_close(ckpt):
         assert out["count"] == 2
     finally:
         backend.close()
+
+
+def test_sigterm_graceful_shutdown(ckpt):
+    """SIGTERM (systemd / docker stop / k8s) drains the coalescing
+    worker and returns from the serve loop instead of dying
+    mid-request. Runs in the main thread (CPython signal API)."""
+    import os
+    import signal
+
+    from mgat_graphsage_tpu.serve import make_server, serve_until_signalled
+
+    srv = make_server(ckpt, port=0, batch_size=8, coalesce_ms=50.0)
+    assert srv.backend._worker is not None
+    prev = signal.getsignal(signal.SIGTERM)
+    timer = threading.Timer(1.0, os.kill, (os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        serve_until_signalled(srv)   # blocks until the timer's SIGTERM
+    finally:
+        timer.cancel()
+        srv.server_close()
+    assert srv.backend._worker is None          # backend drained+closed
+    assert signal.getsignal(signal.SIGTERM) is prev   # disposition restored
+    # the backend still answers via the direct path after shutdown
+    assert srv.backend.predict_payload({"smiles": ["CCO"]})["count"] == 1
