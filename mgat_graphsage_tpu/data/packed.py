@@ -20,7 +20,9 @@ y / y_orig            ``[n]`` float32            (unchanged)
 
 (*) uint8 when ``max_nodes <= 256``, else uint16.
 
-~5.3x smaller at the flagship shape (2.97 GB per 10^6 molecules), and
+~5.4x smaller at the flagship shape (measured 3.07 GB per 10^6
+molecules device-resident, BENCH_SCALE_1M.json; 2.97 GB by the static
+stream-size estimate), and
 **bit-exact**: every packed stream is integral (the 35-dim featurizer is
 one-hot/flags, the 5-dim raw featurizer is small ints, reference
 ``train.py:33-44`` / ``gnn/gcn.py:21-29``; masks are leading-ones by

@@ -82,12 +82,13 @@ class TrainConfig:
     remat: bool = False
     # Device-resident dataset storage ("float32" | "compact").  The
     # epoch scan keeps the whole dataset in HBM; "compact" packs it
-    # ~5.3x smaller (int8 one-hot nodes, uint8 edge indices, bit-packed
-    # binary fingerprints, masks as atom/edge counts — data/packed.py)
-    # and unpacks per batch inside the scan.  Bit-exact: trajectories
+    # ~5.4x smaller (int8 one-hot nodes, uint8 edge indices, bit-packed
+    # binary fingerprints, masks as atom/edge counts — data/packed.py;
+    # measured 3.07 GB per 10^6 molecules, BENCH_SCALE_1M.json) and
+    # unpacks per batch inside the scan.  Bit-exact: trajectories
     # are identical to float32 storage (tests/test_packed.py), so this
     # is purely a capacity dial — it lifts the one-chip ceiling from
-    # ~10^6 to ~5x10^6 molecules at the flagship shape budget.
+    # ~7x10^5 to ~4x10^6 molecules at the flagship shape budget.
     dataset_storage: str = "float32"
 
     @property
