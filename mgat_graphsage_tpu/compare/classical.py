@@ -263,6 +263,16 @@ def comprehensive_modeling(
                 "cv_rmse": cv_rmse,
                 "train_time_s": time.time() - t0,
             }
+            # A documented-divergence fit must be labeled IN the
+            # artifact, not only in this source file (VERDICT r3 weak
+            # #5): TheilSen's subset cap changes its numbers vs a
+            # reference run, so "ok" alone would be misleading.
+            if name == "TheilSen":
+                row["status"] = ("ok (max_subpopulation="
+                                 f"{model.max_subpopulation} cap - see "
+                                 "classical.py divergence note; "
+                                 "sklearn default 10000 never finished "
+                                 "on this host)")
             rows.append(row)
             # record prediction/importance artifacts only for rows that
             # fully succeeded (fit + metrics + CV): a model failing in

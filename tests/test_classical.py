@@ -46,6 +46,12 @@ def test_unavailable_boosters_are_stated(tmp_path):
     scored = {r["model"] for r in rows}
     assert not (scored & set(missing))
 
+    # the TheilSen subset-cap divergence must be labeled IN the artifact
+    # (VERDICT r3 weak #5), and the label must not break the CSV layout
+    ts_lines = [line for line in lb if line.startswith("TheilSen,")]
+    assert ts_lines and "max_subpopulation=" in ts_lines[0]
+    assert len(ts_lines[0].split(",")) == len(lb[0].split(","))
+
     # per-model prediction dumps (reference pycaret.py:408-447)
     allp = open(tmp_path / "all_models_predictions.csv").read().splitlines()
     header = allp[0].split(",")
