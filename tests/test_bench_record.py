@@ -76,3 +76,20 @@ def test_newest_by_numeric_round_not_lexicographic(tmp_path):
            {"value": 10.0, "vs_baseline": 2.0, "backend": "tpu"})
     out = last_real_tpu_record(str(tmp_path))
     assert out["last_real_tpu_record"] == "BENCH_r10.json"
+
+
+def test_torch_cpu_baseline_artifact():
+    """The quiet-floor torch baseline is a committed artifact (VERDICT r3
+    next #9), not a magic constant: it must parse, carry measurement
+    provenance, and sit within the historically measured quiet range."""
+    with open(os.path.join(REPO_ROOT, "BASELINE_TORCH_CPU.json")) as f:
+        art = json.load(f)
+    floor = float(art["quiet_floor"])
+    assert art["unit"] == "molecules/sec"
+    prov = art["provenance"]
+    assert len(prov) >= 2 and all("evidence" in p for p in prov)
+    quiet = [p["mol_per_s"] for p in prov
+             if "conten" not in p["evidence"].lower()]
+    # conservative: the floor must not exceed the best quiet measurement
+    assert floor <= max(quiet)
+    assert floor >= min(quiet) * 0.9
