@@ -139,12 +139,26 @@ def import_reference_checkpoint(
     preset: str = "flagship",
     max_nodes: int = DEFAULT_MAX_NODES,
     max_edges: int = DEFAULT_MAX_EDGES,
+    fingerprint_layout: str = "crc32",
 ) -> Tuple[str, Dict]:
     """Convert a reference ``best_model.pth`` to a native light checkpoint.
 
     Returns ``(out_path, sidecar_meta)``. The output loads through
     ``eval.predict.load_model_from_checkpoint`` and the explain pipeline
     exactly like a natively-trained checkpoint.
+
+    ``fingerprint_layout``: bit-position scheme the imported model's CNN
+    branch will be fed. A checkpoint *actually trained with RDKit*
+    (reference ``train.py:58-63``) learned weights over RDKit's Morgan
+    bit positions; this repo's default layout hashes the same
+    environments to DIFFERENT positions (CRC32 — documented divergence,
+    ``chem/fingerprints.py``), so the default import emits a
+    ``UserWarning``: predictions will be silently degraded for truly
+    RDKit-trained weights (the bit densities match, the positions do
+    not — a permuted input).  Pass ``"rdkit"`` to pin the imported
+    config to the ``*_rdkit`` fingerprint variant (RDKit's published
+    invariant+hash pipeline; best-effort, see the honesty note in
+    ``chem/fingerprints.py``).  VERDICT r3 next #2.
     """
     import torch
 
@@ -185,6 +199,35 @@ def import_reference_checkpoint(
         raise ValueError(
             f"preset '{preset}' is not a hybrid model; reference composite "
             f"checkpoints hold the 3-model hybrid")
+    if fingerprint_layout not in ("crc32", "rdkit"):
+        raise ValueError(
+            f"fingerprint_layout must be 'crc32' or 'rdkit', "
+            f"got {fingerprint_layout!r}")
+    if fingerprint_layout == "rdkit":
+        rd_name = f"{cfg.fingerprint}_rdkit"
+        if rd_name not in FINGERPRINT_DIMS:
+            raise ValueError(
+                f"no RDKit-layout variant exists for "
+                f"'{cfg.fingerprint}' (available for the Morgan family "
+                f"only); import with the default layout instead")
+        cfg = cfg.replace(fingerprint=rd_name)
+    elif cfg.fingerprint is not None:
+        import warnings
+
+        warnings.warn(
+            f"importing a fingerprint-consuming preset "
+            f"('{preset}', fingerprint={cfg.fingerprint}): if this "
+            f".pth was trained with RDKit (as the reference's was, "
+            f"train.py:58-63), its CNN branch learned RDKit's Morgan "
+            f"bit POSITIONS, and this repo's default layout hashes the "
+            f"same substructures to different positions — the imported "
+            f"model would silently see permuted fingerprint inputs and "
+            f"degrade. Pass fingerprint_layout='rdkit' (CLI: "
+            f"--fingerprint-layout rdkit) to feed it RDKit-layout bits "
+            f"(best-effort reimplementation; see chem/fingerprints.py "
+            f"and docs/MIGRATION.md). Checkpoints trained by THIS "
+            f"framework's exporter are unaffected.",
+            UserWarning, stacklevel=2)
     model = build_model(cfg)
     fp_dim = FINGERPRINT_DIMS[cfg.fingerprint]
     variables = model.init(
@@ -304,6 +347,13 @@ def main(argv=None):
                           "fingerprint/widths (default: flagship)")
     imp.add_argument("--max-nodes", type=int, default=DEFAULT_MAX_NODES)
     imp.add_argument("--max-edges", type=int, default=DEFAULT_MAX_EDGES)
+    imp.add_argument("--fingerprint-layout", default="crc32",
+                     choices=("crc32", "rdkit"),
+                     help="bit-position scheme to feed the imported CNN "
+                          "branch: 'rdkit' for checkpoints genuinely "
+                          "trained with RDKit fingerprints (the default "
+                          "warns about the layout mismatch; see "
+                          "docs/MIGRATION.md)")
     exp = sub.add_parser(
         "export", help="native hybrid checkpoint -> reference .pth")
     exp.add_argument("ckpt", help="native checkpoint (.msgpack)")
@@ -312,7 +362,8 @@ def main(argv=None):
     if args.cmd == "import":
         out, meta = import_reference_checkpoint(
             args.pth, args.out, preset=args.preset,
-            max_nodes=args.max_nodes, max_edges=args.max_edges)
+            max_nodes=args.max_nodes, max_edges=args.max_edges,
+            fingerprint_layout=args.fingerprint_layout)
         print(f"imported {args.pth} -> {out} (preset {args.preset}, "
               f"scaler mean={meta['scaler']['mean']:.4f} "
               f"scale={meta['scaler']['scale']:.4f})")
