@@ -47,7 +47,8 @@ from typing import Dict, Tuple
 import numpy as np
 
 __all__ = ["import_reference_checkpoint", "export_reference_checkpoint",
-           "reference_state_dicts_to_params"]
+           "reference_state_dicts_to_params",
+           "import_baseline_checkpoint", "baseline_state_dict_to_params"]
 
 # the reference's dynamic-shape torch graphs have no padding budget; these
 # defaults cover its published molecule range (11-94 atoms, README.md:127)
@@ -110,6 +111,203 @@ def reference_state_dicts_to_params(gat_sd: Dict, cnn_sd: Dict,
     cnn["fc2"] = _lin(cnn_sd, "fc2")
     combined = {"fc1": _lin(comb_sd, "fc1"), "fc2": _lin(comb_sd, "fc2")}
     return {"gat_graphsage": gat, "cnn": cnn, "combined": combined}
+
+
+def _first_key(sd: Dict, prefix: str, *cands: str) -> str:
+    """Resolve a PyG param name across PyG versions (first present)."""
+    for c in cands:
+        if f"{prefix}.{c}" in sd:
+            return f"{prefix}.{c}"
+    raise KeyError(f"none of {[f'{prefix}.{c}' for c in cands]} in "
+                   f"checkpoint — keys: {sorted(sd)[:8]}...")
+
+
+def _pyg_gat(sd: Dict, prefix: str) -> Dict:
+    """PyG ``GATConv`` state-dict slice -> flax GATConv params.
+
+    Accepts the linear under ``lin`` (PyG >=2.3) / ``lin_src`` (2.0-2.2)
+    / ``lin_l`` (pre-2.0) and the attention vectors under
+    ``att_src``/``att_dst`` (modern) or ``att_l``/``att_r`` (legacy);
+    layouts are identical, only the names moved.
+    """
+    lin = _first_key(sd, prefix, "lin.weight", "lin_src.weight",
+                     "lin_l.weight")[: -len(".weight")]
+    att_s = _first_key(sd, prefix, "att_src", "att_l")
+    att_d = _first_key(sd, prefix, "att_dst", "att_r")
+    return {"lin": {"kernel": _np(sd[f"{lin}.weight"]).T},
+            "att_src": _np(sd[att_s]),
+            "att_dst": _np(sd[att_d]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _pyg_gcn(sd: Dict, prefix: str) -> Dict:
+    """PyG ``GCNConv`` slice -> flax params.  Modern PyG stores the
+    linear under ``lin.weight`` ([out, in]); pre-2.0 stored a bare
+    ``weight`` in [in, out] layout (applied as x @ weight)."""
+    if f"{prefix}.lin.weight" in sd:
+        kernel = _np(sd[f"{prefix}.lin.weight"]).T
+    else:
+        kernel = _np(sd[f"{prefix}.weight"])
+    return {"lin": {"kernel": kernel}, "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _pyg_sage(sd: Dict, prefix: str) -> Dict:
+    lin_l = _sage_key(sd, prefix, "lin_l", "lin_rel")
+    lin_r = _sage_key(sd, prefix, "lin_r", "lin_root")
+    return {"lin_l": {"kernel": _np(sd[f"{lin_l}.weight"]).T,
+                      "bias": _np(sd[f"{lin_l}.bias"])},
+            "lin_r": {"kernel": _np(sd[f"{lin_r}.weight"]).T}}
+
+
+def baseline_state_dict_to_params(model_key: str, sd: Dict,
+                                  attention: str = "modified"
+                                  ) -> Tuple[Dict, Dict]:
+    """A reference bare ``state_dict`` -> (flax params, batch_stats).
+
+    Covers the six baseline GNNs (``gnn/gat.py:135`` saves
+    ``model.state_dict()``; ``gnn/predict-*.py`` reload it) and the
+    graph-only ablation models 1-3 (``ablation/model1.py:146``).
+    ``model_key`` is ``TrainConfig.model``; for ``gat_graphsage`` the
+    ``attention`` flavor picks plain PyG GATConv (model 1) vs the
+    ModifiedGATLayer (models 2/3).
+    """
+    bs: Dict = {}
+    if model_key == "sage":           # gnn/graphsage.py:50-75
+        params = {"sage1": _pyg_sage(sd, "sage1"),
+                  "sage2": _pyg_sage(sd, "sage2"),
+                  "fc_g1": _lin(sd, "fc_g1"), "fc_g2": _lin(sd, "fc_g2"),
+                  "out": _lin(sd, "out")}
+    elif model_key == "gat":          # gnn/gat.py:51-71
+        params = {"gcn1": _pyg_gat(sd, "gcn1"),
+                  "gcn2": _pyg_gat(sd, "gcn2"),
+                  "fc_g1": _lin(sd, "fc_g1"), "out": _lin(sd, "out")}
+    elif model_key == "gcn":          # gnn/gcn.py:42-66
+        params = {"conv1": _pyg_gcn(sd, "conv1"),
+                  "conv2": _pyg_gcn(sd, "conv2"),
+                  "conv3": _pyg_gcn(sd, "conv3"),
+                  "fc_g1": _lin(sd, "fc_g1"), "fc_g2": _lin(sd, "fc_g2")}
+    elif model_key == "gat_gcn":      # gnn/gat-gcn.py:53-76
+        params = {"conv1": _pyg_gat(sd, "conv1"),
+                  "conv2": _pyg_gcn(sd, "conv2"),
+                  "fc_g1": _lin(sd, "fc_g1"), "fc_g2": _lin(sd, "fc_g2"),
+                  "out": _lin(sd, "out")}
+    elif model_key == "gin":          # gnn/gin.py:56-106
+        params = {}
+        for i in range(1, 6):
+            # reference attribute names (conv1.nn.0 / bn1); the in-repo
+            # torch oracle's ModuleList layout (convs.0.mlp.0 / bns.0)
+            # is accepted as an alias
+            conv = (f"conv{i}.nn" if f"conv{i}.nn.0.weight" in sd
+                    else f"convs.{i - 1}.mlp")
+            bn = f"bn{i}" if f"bn{i}.weight" in sd else f"bns.{i - 1}"
+            params[f"conv{i}"] = {"mlp_0": _lin(sd, f"{conv}.0"),
+                                  "mlp_1": _lin(sd, f"{conv}.2")}
+            params[f"bn{i}"] = {"scale": _np(sd[f"{bn}.weight"]),
+                                "bias": _np(sd[f"{bn}.bias"])}
+            bs[f"bn{i}"] = {"mean": _np(sd[f"{bn}.running_mean"]),
+                            "var": _np(sd[f"{bn}.running_var"])}
+        for name in ("fc1_xd", "fc1", "fc2", "out"):
+            params[name] = _lin(sd, name)
+    elif model_key == "cheb":         # gnn/chebnet.py:50-96
+        params = {"conv1": {"lin": _lin(sd, "conv1.lin")},
+                  "conv2": {"lin": _lin(sd, "conv2.lin")},
+                  "fc_g1": _lin(sd, "fc_g1"), "out": _lin(sd, "out")}
+    elif model_key == "gat_graphsage":
+        if attention == "gat10":      # ablation/model1.py:53-77
+            conv1 = _pyg_gat(sd, "conv1")
+        else:                         # ablation/model 2.py / model 3.py
+            conv1 = {}
+            for name in ("query_transform", "key_transform",
+                         "value_transform", "linear_transform"):
+                conv1[name] = _lin(sd, f"conv1.{name}")
+            for cname in ("conv3", "conv5"):
+                conv1[cname] = {
+                    "weight": _np(sd[f"conv1.{cname}.weight"]),
+                    "bias": _np(sd[f"conv1.{cname}.bias"])}
+        params = {"conv1": conv1, "conv2": _pyg_sage(sd, "conv2"),
+                  "fc_g1": _lin(sd, "fc_g1"), "fc_g2": _lin(sd, "fc_g2"),
+                  "out": _lin(sd, "out")}
+    else:
+        raise ValueError(f"no baseline state-dict translation for "
+                         f"model '{model_key}'")
+    return params, bs
+
+
+def import_baseline_checkpoint(
+    pth_path: str,
+    out_path: str,
+    preset: str,
+    max_nodes: int = DEFAULT_MAX_NODES,
+    max_edges: int = DEFAULT_MAX_EDGES,
+) -> Tuple[str, Dict]:
+    """Convert a reference bare ``state_dict`` checkpoint (baseline GNNs
+    ``gnn/*.py``, ablation models 1-3) to a native light checkpoint.
+
+    The reference consumers rebuild the matching class and
+    ``load_state_dict`` (``gnn/predict-gcn.py:79-120``); here the preset
+    names the architecture. Baselines train on raw targets
+    (``scale_targets=False``), so the sidecar carries the identity
+    scaler. VERDICT r3 next #8.
+    """
+    import torch
+
+    try:
+        sd = torch.load(pth_path, map_location="cpu", weights_only=False)
+    except TypeError:
+        sd = torch.load(pth_path, map_location="cpu")
+    if not hasattr(sd, "items") or any(
+            not hasattr(v, "detach") for v in sd.values()):
+        raise ValueError(
+            f"{pth_path} is not a bare state_dict (tensor-valued dict); "
+            f"composite hybrid checkpoints import via "
+            f"import_reference_checkpoint")
+
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import dense_adjacency
+    from .train.checkpoint import save_checkpoint
+    from .train.config import get_config
+    from .train.trainer import build_model
+
+    cfg = get_config(preset)
+    if cfg.is_hybrid:
+        raise ValueError(
+            f"preset '{preset}' is the hybrid — its composite checkpoint "
+            f"imports via import_reference_checkpoint / the 'import' "
+            f"subcommand")
+    params, batch_stats = baseline_state_dict_to_params(
+        cfg.model, sd, attention=cfg.attention)
+
+    feat = 5 if cfg.featurizer == "5" else 35
+    model = build_model(cfg)
+    rngs = {"params": jax.random.PRNGKey(0)}
+    variables = model.init(
+        rngs,
+        jnp.zeros((1, max_nodes, feat)),
+        dense_adjacency(jnp.zeros((1, 2, max_edges), jnp.int32),
+                        jnp.zeros((1, max_edges)), max_nodes),
+        jnp.ones((1, max_nodes)))
+    from flax.core import unfreeze
+    template = jax.device_get(unfreeze(variables["params"]))
+    _check_against_template(template, params)
+    if batch_stats:
+        bs_template = jax.device_get(
+            unfreeze(variables.get("batch_stats", {})))
+        _check_against_template(bs_template, batch_stats)
+
+    meta = {
+        "config": dataclasses.asdict(cfg),
+        # baselines train on raw targets (gnn/*.py have no scaler)
+        "scaler": {"mean": 0.0, "scale": 1.0},
+        "max_nodes": int(max_nodes),
+        "max_edges": int(max_edges),
+        "imported_from": pth_path,
+    }
+    state = {"step": np.zeros((), np.int32), "params": params,
+             "batch_stats": batch_stats}
+    save_checkpoint(out_path, state, meta, light=True)
+    return out_path, meta
 
 
 def _check_against_template(template, converted, path=""):
@@ -354,6 +552,17 @@ def main(argv=None):
                           "trained with RDKit fingerprints (the default "
                           "warns about the layout mismatch; see "
                           "docs/MIGRATION.md)")
+    impb = sub.add_parser(
+        "import-baseline",
+        help="reference bare state_dict (baseline GNNs / ablation "
+             "models 1-3) -> native msgpack")
+    impb.add_argument("pth", help="bare state_dict checkpoint (.pth)")
+    impb.add_argument("out", help="output path (.msgpack)")
+    impb.add_argument("--preset", required=True,
+                      help="matching non-hybrid preset (gcn, graphsage, "
+                           "gat, gat_gcn, gin, chebnet, model1-3)")
+    impb.add_argument("--max-nodes", type=int, default=DEFAULT_MAX_NODES)
+    impb.add_argument("--max-edges", type=int, default=DEFAULT_MAX_EDGES)
     exp = sub.add_parser(
         "export", help="native hybrid checkpoint -> reference .pth")
     exp.add_argument("ckpt", help="native checkpoint (.msgpack)")
@@ -367,6 +576,13 @@ def main(argv=None):
         print(f"imported {args.pth} -> {out} (preset {args.preset}, "
               f"scaler mean={meta['scaler']['mean']:.4f} "
               f"scale={meta['scaler']['scale']:.4f})")
+    elif args.cmd == "import-baseline":
+        out, meta = import_baseline_checkpoint(
+            args.pth, args.out, preset=args.preset,
+            max_nodes=args.max_nodes, max_edges=args.max_edges)
+        print(f"imported baseline {args.pth} -> {out} "
+              f"(preset {args.preset}, model "
+              f"{meta['config']['model']})")
     else:
         out, composite = export_reference_checkpoint(args.ckpt, args.out)
         print(f"exported {args.ckpt} -> {out} (reference composite dict: "

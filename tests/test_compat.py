@@ -212,3 +212,135 @@ def test_import_rdkit_layout_unavailable_is_clear(reference_pth, tmp_path):
         import_reference_checkpoint(
             pth, str(tmp_path / "x.msgpack"), preset="flagship",
             fingerprint_layout="bogus")
+
+
+# ---------------------------------------------------------------------------
+# Baseline bare-state_dict interchange (VERDICT r3 next #8): the
+# reference also ships bare state_dict checkpoints for the six baseline
+# GNNs (gnn/gat.py:135) and ablation models 1-3 (ablation/model1.py:146)
+# that gnn/predict-*.py reload. Each baseline import is verified
+# weight-for-weight against the existing torch oracle: oracle (random
+# init) -> torch.save(state_dict()) -> import-baseline -> native forward
+# must reproduce the oracle's predictions.
+# ---------------------------------------------------------------------------
+
+from mgat_graphsage_tpu.compat import import_baseline_checkpoint  # noqa: E402
+from mgat_graphsage_tpu.compare.torch_ref_gnn import (  # noqa: E402
+    BASELINE_ORACLES)
+from mgat_graphsage_tpu.compare.torch_ref import flat_batch  # noqa: E402
+
+from test_parity_baselines import _padded, SMILES as BSMILES  # noqa: E402
+
+BASELINE_CASES = [
+    ("graphsage", "sage", "35", 2e-5),
+    ("gat", "gat", "35", 2e-5),
+    ("gcn", "gcn", "5", 2e-5),
+    ("gat_gcn", "gat_gcn", "35", 5e-5),
+    ("gin", "gin", "35", 5e-5),
+    ("chebnet", "cheb", "35", 5e-4),
+]
+
+
+@pytest.mark.parametrize("preset,model_key,featurizer,tol", BASELINE_CASES)
+def test_baseline_import_prediction_parity(preset, model_key, featurizer,
+                                           tol, tmp_path):
+    import jax
+
+    from mgat_graphsage_tpu.eval.predict import load_model_from_checkpoint
+    from mgat_graphsage_tpu.ops import dense_adjacency
+
+    torch.manual_seed(11)
+    feats = 5 if featurizer == "5" else 35
+    tmodel = BASELINE_ORACLES[model_key](features=feats)
+    tmodel.eval()
+    pth = str(tmp_path / f"{preset}.pth")
+    torch.save(tmodel.state_dict(), pth)     # gnn/gat.py:135 format
+
+    out = str(tmp_path / f"{preset}.msgpack")
+    import_baseline_checkpoint(pth, out, preset=preset,
+                               max_nodes=MAX_NODES, max_edges=MAX_EDGES)
+    model, state, cfg, scaler, (mn, me) = load_model_from_checkpoint(out)
+    assert (scaler.mean_, scaler.scale_) == (0.0, 1.0)   # raw targets
+
+    graphs, nodes, edges, node_mask, edge_mask = _padded(
+        BSMILES, featurizer=featurizer)
+    adj = dense_adjacency(jnp.asarray(edges), jnp.asarray(edge_mask),
+                          MAX_NODES)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    jax_out = np.asarray(model.apply(
+        variables, jnp.asarray(nodes), adj, jnp.asarray(node_mask),
+        deterministic=True)).reshape(-1)
+
+    x, ei, batch_vec, ng, _ = flat_batch(
+        graphs, [np.zeros((1, 1), np.float32)] * len(graphs))
+    with torch.no_grad():
+        t_out = tmodel(x, ei, batch_vec, ng).numpy().reshape(-1)
+    np.testing.assert_allclose(jax_out, t_out, atol=tol, rtol=1e-4)
+
+
+@pytest.mark.parametrize("preset", ["model1", "model2"])
+def test_ablation_graph_state_dict_import(preset, tmp_path):
+    """Ablation models 1-3 save the bare graph-branch state_dict; the
+    import must translate every leaf (template-validated shapes) and
+    preserve values exactly. model1 exercises the plain-GATConv path,
+    model2 the ModifiedGAT dual-pool path; model3 == model2 + residual
+    flag (no extra params)."""
+    from mgat_graphsage_tpu.compare.torch_ref import (TorchModifiedGATLayer,
+                                                      TorchSAGEConv)
+    from mgat_graphsage_tpu.compare.torch_ref_gnn import TorchGATConv
+    from mgat_graphsage_tpu.eval.predict import load_model_from_checkpoint
+
+    torch.manual_seed(13)
+    nn_t = torch.nn
+
+    class M1(nn_t.Module):      # ablation/model1.py:53-77 names/shapes
+        def __init__(self):
+            super().__init__()
+            self.conv1 = TorchGATConv(35, 35, heads=10)
+            self.conv2 = TorchSAGEConv(350, 350)
+            self.fc_g1 = nn_t.Linear(700, 1500)
+            self.fc_g2 = nn_t.Linear(1500, 128)
+            self.out = nn_t.Linear(128, 1)
+
+    class M2(nn_t.Module):      # ablation/model 2.py names/shapes
+        def __init__(self):
+            super().__init__()
+            self.conv1 = TorchModifiedGATLayer(35)
+            self.conv2 = TorchSAGEConv(35, 35)
+            self.fc_g1 = nn_t.Linear(70, 1500)
+            self.fc_g2 = nn_t.Linear(1500, 128)
+            self.out = nn_t.Linear(128, 1)
+
+    tmodel = {"model1": M1, "model2": M2}[preset]()
+    pth = str(tmp_path / f"{preset}.pth")
+    torch.save(tmodel.state_dict(), pth)
+    out = str(tmp_path / f"{preset}.msgpack")
+    import_baseline_checkpoint(pth, out, preset=preset,
+                               max_nodes=MAX_NODES, max_edges=MAX_EDGES)
+    model, state, cfg, _, _ = load_model_from_checkpoint(out)
+    # translated leaves preserve torch values exactly
+    sd = tmodel.state_dict()
+    np.testing.assert_array_equal(
+        np.asarray(state.params["fc_g1"]["kernel"]),
+        sd["fc_g1.weight"].numpy().T)
+    if preset == "model2":
+        np.testing.assert_array_equal(
+            np.asarray(state.params["conv1"]["conv3"]["weight"]),
+            sd["conv1.conv3.weight"].numpy())
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(state.params["conv1"]["att_src"]),
+            sd["conv1.att_src"].numpy())
+
+
+def test_baseline_import_rejects_hybrid_and_composite(reference_pth,
+                                                      tmp_path):
+    pth, _, _ = reference_pth
+    with pytest.raises(ValueError, match="composite|hybrid"):
+        import_baseline_checkpoint(pth, str(tmp_path / "x.msgpack"),
+                                   preset="graphsage")
+    with pytest.raises(ValueError, match="hybrid"):
+        import_baseline_checkpoint(pth, str(tmp_path / "y.msgpack"),
+                                   preset="flagship")
