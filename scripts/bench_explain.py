@@ -100,6 +100,35 @@ def main():
 
     s1 = best_of(stage1, n_mol, "stage1 gradient importance (scan-fused)")
 
+    # ---- Stage 1 at RTT-amortized scale (VERDICT r3 weak #2) ----------
+    # 961 molecules is ONE ~70 ms dispatch — approximately one tunnel
+    # round trip, so the 961-row rate measures the relay, not the scan.
+    # Re-measure on 16k molecules (test set + the same synthetic
+    # generator bench.py uses) so device time dominates the RTT and the
+    # committed number is a device rate.
+    from mgat_graphsage_tpu.data.synth import generate_dataset
+
+    n_big = 16384
+    big_sm, big_y = list(sm), list(y)
+    extra_s, extra_y = generate_dataset(n_big - len(big_sm), seed=99)
+    big_sm += extra_s
+    big_y += extra_y
+    big = MolecularDataset(big_sm[:n_big], big_y[:n_big], fingerprint=None,
+                           max_nodes=ds.max_nodes, max_edges=ds.max_edges,
+                           verbose=False)
+    bnodes, bedges, bemask, bnmask = _device_dataset(big)
+    big_atoms = big.node_mask.sum(axis=1).astype(np.int64)
+    perm_big = jnp.asarray(_batch_perm(len(big), batch))
+
+    def stage1_big():
+        raw, preds = jax.block_until_ready(
+            grad_all(bnodes, bedges, bemask, bnmask, perm_big))
+        raw = np.asarray(raw)[:len(big)]
+        process_node_importance_batch(raw, big_atoms)
+
+    s1_big = best_of(stage1_big, len(big),
+                     "stage1 gradient importance @16k (RTT-amortized)")
+
     # ---- Stage 3: one scan dispatch over the 200-molecule selection ----
     gexp = make_scan_gnn_explainer(graph_apply)
     n_sel = 200
@@ -122,6 +151,10 @@ def main():
         "n_molecules": n_mol,
         "batch": batch,
         "stage1_gradient_mol_per_s": round(s1, 1),
+        "stage1_gradient_mol_per_s_16k": round(s1_big, 1),
+        "stage1_16k_note": ("the 961-row figure is ~one tunnel round "
+                            "trip (relay-bound); the 16k row amortizes "
+                            "the RTT and is the device rate"),
         "stage3_gnnexplainer_mol_per_s": round(s3, 1),
     }
     print(json.dumps(result, indent=2))
