@@ -1,11 +1,15 @@
 """Benchmark: flagship hybrid training throughput, TPU vs PyTorch-CPU.
 
-North-star metric (BASELINE.json): molecules/sec/chip at the reference's
-matched training config (batch 128, Adam lr 1e-3 wd 1e-4, MSE + 0.001*KL,
-reference ``train.py:209-229``).  The reference publishes no numbers and
-ships no dataset, so the PyTorch-CPU baseline is measured here, in the
-reference's own flat data layout (``compare/torch_ref.py``), on the bundled
-synthetic splits (BASELINE.md).
+North-star metric (BASELINE.json): molecules/sec/chip at matched test
+RMSE.  The TPU side times the promoted production preset
+(``flagship_bf16_bs256`` — batch 256, full mixed precision; its 3-seed
+full-recipe test RMSE sits inside the f32-parity envelope,
+SEED_REPEAT.json).  The reference publishes no numbers and ships no
+dataset, so the PyTorch-CPU baseline is measured here at the
+reference's own recipe (batch 128, Adam lr 1e-3 wd 1e-4, MSE +
+0.001*KL, ``train.py:209-229``) in the reference's own flat data
+layout (``compare/torch_ref.py``), on the bundled synthetic splits
+(BASELINE.md).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "molecules/sec/chip", "vs_baseline": N}
@@ -150,12 +154,20 @@ def bench_tpu(ds, cpu_fallback: bool = False) -> float:
     # splits the SR epilogue out of the fc1 grad+Adam fusion, see
     # docs/DESIGN.md trace accounting); it remains an opt-in
     # HBM-capacity mode, not a throughput mode.
+    # Round 4: the headline preset is flagship_bf16_bs256 — the
+    # large-batch config whose 3-seed full-recipe test RMSE landed
+    # INSIDE the f32 envelope (SEED_REPEAT.json; VERDICT r3 next #1).
+    # Plain bs-512 (~90k mol/s) measured bf16-class, not f32-class
+    # quality, so it is NOT the headline.  The torch-CPU baseline below
+    # keeps the reference's own bs-128 recipe (train.py:209).
     preset = os.environ.get("BENCH_PRESET") or (
         "flagship" if (os.environ.get("BENCH_PARITY", "0") == "1"
                        or cpu_fallback)  # bf16 is emulated (~30x) on CPU
-        else "flagship_bf16")
-    cfg = get_config(preset, batch_size=BATCH_SIZE)
-    log(f"[bench] preset {preset}: compute_dtype={cfg.compute_dtype}, "
+        else "flagship_bf16_bs256")
+    cfg = get_config(preset)
+    tpu_batch = cfg.batch_size
+    log(f"[bench] preset {preset}: batch={tpu_batch}, "
+        f"compute_dtype={cfg.compute_dtype}, "
         f"adam_moment_dtype={cfg.adam_moment_dtype}, "
         f"master_dtype={cfg.master_dtype}")
     trainer = Trainer(cfg, ds, None)
@@ -173,7 +185,7 @@ def bench_tpu(ds, cpu_fallback: bool = False) -> float:
         # No relay RTT to amortize on CPU, and the fused multi-epoch scan
         # would be a fresh (expensive) compile — time the already-compiled
         # per-epoch path instead.
-        n_steps = -(-len(ds) // BATCH_SIZE) * TPU_TIMED_EPOCHS
+        n_steps = -(-len(ds) // tpu_batch) * TPU_TIMED_EPOCHS
         t0 = time.perf_counter()
         for e in range(TPU_TIMED_EPOCHS):
             rng, sub = jax.random.split(rng)
@@ -194,7 +206,7 @@ def bench_tpu(ds, cpu_fallback: bool = False) -> float:
     data = trainer._device_dataset(trainer.train_ds)
     perms, masks = [], []
     for e in range(TPU_TIMED_EPOCHS):
-        p, sm_ = trainer._epoch_indices(len(ds), BATCH_SIZE,
+        p, sm_ = trainer._epoch_indices(len(ds), tpu_batch,
                                         _np.random.default_rng(e))
         perms.append(p)
         masks.append(sm_)
@@ -218,7 +230,7 @@ def bench_tpu(ds, cpu_fallback: bool = False) -> float:
     n_params = int(sum(x.size for x in
                        jax.tree_util.tree_leaves(state.params)))
     step_flops, step_bytes = flop_model(
-        ds.max_nodes, batch=BATCH_SIZE,
+        ds.max_nodes, batch=tpu_batch,
         compute_bytes=2 if cfg.compute_dtype == "bfloat16" else 4,
         moment_bytes=2 if cfg.adam_moment_dtype == "bfloat16" else 4,
         master_bytes=2 if cfg.master_dtype == "bfloat16" else 4,
@@ -241,7 +253,7 @@ def bench_tpu(ds, cpu_fallback: bool = False) -> float:
         f"of HBM peak) on {kind}")
     if mbu is not None and mfu is not None:
         bound = "HBM-bandwidth" if mbu > mfu else "MXU"
-        log(f"[bench] model is {bound}-bound at batch {BATCH_SIZE} "
+        log(f"[bench] model is {bound}-bound at batch {tpu_batch} "
             f"(Adam state traffic on the 34M-param CNN fc1 dominates)")
 
     # ---- optional profiler trace artifact ----

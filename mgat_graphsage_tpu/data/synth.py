@@ -123,18 +123,87 @@ def _random_scaffold(rng: np.random.Generator, depth: int = 0) -> str:
                       _shift_ring_labels(_random_group(rng, depth)))
 
 
+def _gen_o_class_r3(mol, a) -> str:
+    """FROZEN generation-time Crippen O-typing (the round-3 rules).
+
+    The live descriptor layer's O-typing was corrected in round 4
+    (PARITY.md "Crippen decomposition audit": ester -O- is a plain
+    O3/O4 ether, carbonyl =O splits O9/O10/O11 by the carbonyl C's
+    substituents).  The frozen seed-42 datasets were GENERATED with the
+    round-3 rules, and dataset generation must stay bit-stable so
+    `make_dataset.py` regenerates the committed splits identically
+    (`tests/test_data.py::test_bundled_splits_frozen`) — so this module
+    pins its own copy of the old O-branch instead of tracking the live
+    (corrected) `descriptors.mol_logp`.  Generation only needs a
+    deterministic structure→activity signal, not chemical accuracy.
+    """
+    atoms, bonds = mol.GetAtoms(), mol.GetBonds()
+    nbrs = [atoms[bonds[bi].other(a.idx)] for bi in a._bond_idxs]
+    nbr_bonds = [bonds[bi] for bi in a._bond_idxs]
+    if a.GetIsAromatic():
+        return "O1"
+    if a.GetFormalCharge() < 0:
+        carboxylate = any(
+            n.GetSymbol() == "C" and any(
+                bonds[bj].order == 2 and
+                atoms[bonds[bj].other(n.idx)].GetSymbol() == "O"
+                for bj in n._bond_idxs) for n in nbrs)
+        return "O12" if carboxylate else "OS"
+    if any(b.order == 2 for b in nbr_bonds):
+        n = nbrs[0]
+        if n.GetSymbol() in ("N", "O", "S", "P"):
+            return "O5"
+        if n.GetIsAromatic():
+            return "O8"
+        other_o = any(
+            atoms[bonds[bj].other(n.idx)].GetSymbol() == "O"
+            and bonds[bj].order == 1 for bj in n._bond_idxs)
+        return "O9" if other_o else "O10"
+    if a.GetTotalNumHs() >= 1:
+        return "O2"
+    ester = any(
+        n.GetSymbol() == "C" and any(
+            bonds[bj].order == 2 and
+            atoms[bonds[bj].other(n.idx)].GetSymbol() in ("O", "N", "S")
+            for bj in n._bond_idxs) for n in nbrs)
+    if ester:
+        return "O11"
+    if any(n.GetIsAromatic() for n in nbrs):
+        return "O4"
+    return "O3"
+
+
+# round-3 logP constants for the classes whose values moved in round 4
+_R3_O_LOGP = {"O4": 0.4833, "O11": -0.1540}
+
+
+def _gen_logp_r3(mol) -> float:
+    """Frozen generation-time MolLogP (see ``_gen_o_class_r3``)."""
+    lp = 0.0
+    for a in mol.GetAtoms():
+        if a.GetSymbol() == "O":
+            cls = _gen_o_class_r3(mol, a)
+            lp += _R3_O_LOGP.get(cls, D._CRIPPEN[cls][0])
+        else:
+            lp += D._CRIPPEN[D._crippen_class(mol, a)][0]
+        lp += D._CRIPPEN[D._h_class(mol, a)][0] * a.GetTotalNumHs()
+    return lp
+
+
 def _target_from_structure(mol, rng: np.random.Generator) -> float:
     """Deterministic structure->activity mapping with seeded noise.
 
     A blend of descriptors shaped to produce a pChEMBL-like distribution in
-    roughly [3.5, 10.5] with learnable structure dependence.
+    roughly [3.5, 10.5] with learnable structure dependence.  Uses the
+    FROZEN generation-time logP (``_gen_logp_r3``), not the live
+    descriptor, so the committed splits regenerate bit-identically.
     """
     y = (
         4.2
         + 0.42 * D.num_aromatic_rings(mol)
         + 0.28 * D.num_h_donors(mol)
         + 0.12 * D.num_h_acceptors(mol)
-        + 0.35 * np.tanh(D.mol_logp(mol) / 3.0)
+        + 0.35 * np.tanh(_gen_logp_r3(mol) / 3.0)
         - 0.0035 * abs(D.mol_weight(mol) - 380.0)
         + 0.08 * D.num_rotatable_bonds(mol)
         - 0.004 * D.tpsa(mol)

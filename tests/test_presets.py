@@ -74,6 +74,11 @@ HYPERPARAM_TABLE = {
     "flagship_flat": _FLAG,
     "flagship_bf16": _FLAG,
     "flagship_bf16sr": _FLAG,
+    # large-batch throughput preset: the flagship recipe with batch 256
+    # (a deliberate relaxation of train.py:209, NOT a reference config —
+    # qualified by the 3-seed study in SEED_REPEAT.json)
+    "flagship_bf16_bs256": (1e-3, 1e-4, 0.001, 256, 64, 1000, 0.3, True,
+                            "original_mse"),
     "model6":        _FLAG,
     "model1": (1e-4, 0.0, 0.0, 64, 32, 1000, 0.2, False, "val_mse"),
     "model2": (5e-3, 0.0, 0.0, 128, 64, 1000, 0.2, False, "val_mse"),
