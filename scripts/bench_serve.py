@@ -99,6 +99,7 @@ def main():
 
     # -- server on an ephemeral port ------------------------------------
     server = make_server(ckpt, port=0, batch_size=64)
+    backend = server.backend
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{port}/predict"
