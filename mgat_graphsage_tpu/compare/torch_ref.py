@@ -28,6 +28,8 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
+from ..models.layers import cnn_fc1_pos_major_to_torch
+
 __all__ = [
     "TorchModifiedGATLayer", "TorchSAGEConv", "TorchGraphBranch",
     "TorchCNNNet", "TorchCombinedNet", "TorchHybrid", "flat_batch",
@@ -226,7 +228,12 @@ def load_jax_params_into_torch(params: Dict, model: TorchHybrid) -> None:
             k = _t(cnn[f"conv{i}"]["kernel"]).permute(2, 1, 0)
             getattr(model.cnn, f"conv{i}").weight.copy_(k)
             getattr(model.cnn, f"conv{i}").bias.copy_(_t(cnn[f"conv{i}"]["bias"]))
-        model.cnn.fc1.weight.copy_(_t(cnn["fc1"]["kernel"]).T)
+        # CNNNet stores fc1 rows pos-major (w*128 + c); torch's flatten
+        # is channel-major (c*W + w) — permute back for the torch twin
+        # (models/layers.py cnn_fc1_pos_major_to_torch).
+        k1 = np.asarray(cnn_fc1_pos_major_to_torch(
+            np.asarray(cnn["fc1"]["kernel"])))
+        model.cnn.fc1.weight.copy_(_t(k1).T)
         model.cnn.fc1.bias.copy_(_t(cnn["fc1"]["bias"]))
         model.cnn.fc2.weight.copy_(_t(cnn["fc2"]["kernel"]).T)
         model.cnn.fc2.bias.copy_(_t(cnn["fc2"]["bias"]))

@@ -46,6 +46,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+from .models.layers import cnn_fc1_torch_to_pos_major
+
 __all__ = ["import_reference_checkpoint", "export_reference_checkpoint",
            "reference_state_dicts_to_params",
            "import_baseline_checkpoint", "baseline_state_dict_to_params"]
@@ -108,6 +110,9 @@ def reference_state_dicts_to_params(gat_sd: Dict, cnn_sd: Dict,
         cnn[f"conv{i}"] = {"kernel": np.transpose(w, (2, 1, 0)),
                            "bias": _np(cnn_sd[f"conv{i}.bias"])}
     cnn["fc1"] = _lin(cnn_sd, "fc1")
+    # torch's fc1 rows are channel-major (flatten order c*W + w);
+    # CNNNet stores them pos-major (w*128 + c) — see models/layers.py.
+    cnn["fc1"]["kernel"] = cnn_fc1_torch_to_pos_major(cnn["fc1"]["kernel"])
     cnn["fc2"] = _lin(cnn_sd, "fc2")
     combined = {"fc1": _lin(comb_sd, "fc1"), "fc2": _lin(comb_sd, "fc2")}
     return {"gat_graphsage": gat, "cnn": cnn, "combined": combined}

@@ -37,7 +37,32 @@ __all__ = [
     "MaskedBatchNorm",
     "CNNNet",
     "CombinedNet",
+    "cnn_fc1_torch_to_pos_major",
+    "cnn_fc1_pos_major_to_torch",
 ]
+
+
+def cnn_fc1_torch_to_pos_major(kernel, channels: int = 128):
+    """Reorder a channel-major CNN fc1 kernel into pos-major storage.
+
+    torch flattens the conv stack channel-major (``x.view(B, -1)`` on
+    ``[B, C, W]`` -> row index ``c*W + w``); ``CNNNet`` here flattens
+    pos-major (row index ``w*C + c`` — see the class docstring for the
+    traced reason).  The two are a pure row permutation of the fc1
+    kernel; this converts torch order -> native order at interchange
+    time (``compat.reference_state_dicts_to_params``).  Works on numpy
+    and jax arrays alike.
+    """
+    cw, h = kernel.shape
+    w = cw // channels
+    return kernel.reshape(channels, w, h).transpose(1, 0, 2).reshape(cw, h)
+
+
+def cnn_fc1_pos_major_to_torch(kernel, channels: int = 128):
+    """Inverse of :func:`cnn_fc1_torch_to_pos_major` (native -> torch)."""
+    cw, h = kernel.shape
+    w = cw // channels
+    return kernel.reshape(w, channels, h).transpose(1, 0, 2).reshape(cw, h)
 
 
 def _uniform_init(bound: float) -> Callable:
@@ -79,16 +104,19 @@ class TorchConv1d(nn.Module):
     ``ncw=True`` runs torch's native NCW layout.
 
     Why NCW exists: the profiler trace of the bf16 train step
-    (profiles/bf16_full) showed the channel-major flatten before
-    ``CNNNet``'s fc1 — ``[B, W, C] -> [B, C, W] -> [B, C*W]`` — costing
-    ~150 us/step in pure layout copies (copy.387 fwd + copy.403 bwd, 7%
-    of the step).  Running the conv stack in NCW makes that flatten a
-    free row-major reshape (exactly torch's own memory story), so
-    neither the activations nor the 33.5M-param fc1 kernel is ever
-    physically transposed.  (A previous attempt expressed fc1 as a
-    two-contracting-dim einsum instead — XLA resolved it by transposing
-    the 67MB kernel every step and the step REGRESSED 2.20->2.69 ms;
-    the layout must be fixed upstream, at the convs.)
+    (profiles/bf16_full) showed the flatten before ``CNNNet``'s fc1
+    costing ~150 us/step in pure layout copies (copy.387 fwd +
+    copy.403 bwd, 7% of the step; 412 us/step = 13% at batch 256).
+    Round 3 ran the convs in NCW so torch's channel-major flatten
+    would be a row-major reshape — but XLA still lays the NCW conv
+    output out position-minor ({0,2,1}), so the copy survived.  Round 4
+    fixed it at the flatten instead: ``CNNNet`` flattens POS-major
+    (``[B, W, C] -> [B, W*C]``, free in XLA's chosen layout) with the
+    fc1 kernel rows stored permuted to match.  (A round-3 attempt
+    expressed fc1 as a two-contracting-dim einsum instead — XLA
+    resolved it by transposing the 67MB kernel every step and the step
+    REGRESSED 2.20->2.69 ms; the layout must be fixed where it is
+    cheap, not inside the matmul.)
     """
 
     features: int
@@ -472,18 +500,25 @@ class CNNNet(nn.Module):
     def __call__(self, fp: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         # bf16 compute runs the conv stack in torch's native NCW layout
-        # so the channel-major flatten below is a free reshape (see
-        # TorchConv1d: saves ~150 us/step of layout copies around fc1).
-        # f32 keeps NWC + explicit swapaxes: bit-faithful to the torch
-        # parity suite, and conv layout preferences differ anyway.
+        # (see TorchConv1d); f32 keeps the TPU-standard NWC.
         ncw = fp.dtype == jnp.bfloat16
         # fp: [B, nbits] -> [B, 1, nbits] (NCW) or [B, nbits, 1] (NWC)
         x = fp[:, None, :] if ncw else fp[..., None]
         for i, ch in enumerate((32, 64, 128)):
             x = TorchConv1d(features=ch, name=f"conv{i + 1}")(x, ncw=ncw)
             x = nn.relu(x)
-        # torch flattens channel-major: [B, C, W] -> [B, C*W]
-        if not ncw:
+        # POS-MAJOR flatten (divergence from torch's channel-major
+        # x.view(B, -1), reference train.py:141): both layouts flatten
+        # as [B, W, C] -> [B, W*C], which is the physically free reshape
+        # — XLA lays conv output out position-minor ({0,2,1} for NCW),
+        # so torch's channel-major flatten costs a materialized copy
+        # each way (412 us/step at batch 256, 13% of the step —
+        # profiles/bf16_full_bs256/OPS.json copy.387/copy.403).  The
+        # fc1 kernel rows are stored pos-major (row = w*128 + c) to
+        # match; torch interchange permutes ONCE at conversion
+        # (cnn_fc1_torch_to_pos_major), so checkpoints and parity are
+        # exact.  Measured: 77.9k -> 84.1k mol/s at batch 256.
+        if ncw:
             x = jnp.swapaxes(x, -1, -2)
         x = x.reshape(x.shape[0], -1)
         x = TorchLinear(self.fc_hidden, name="fc1")(x)

@@ -161,7 +161,15 @@ def test_sr_master_mesh_matches_single_device():
     stream exactly — sharded SR params must track the single-device
     run.  (This is the one place a partitioned iota could silently
     change training numerics.)"""
-    cfg = get_config("flagship", epochs=2, batch_size=8,
+    # ONE epoch: the comparison must isolate the noise stream, and any
+    # mesh-vs-single difference (cross-shard grad reduction order in
+    # bf16) compounds chaotically through SR threshold crossings over
+    # further steps — at 2 epochs the mismatch fraction was 13-20%
+    # depending on unrelated weight-layout changes; at 1 epoch it is
+    # ~5%.  A genuinely mis-partitioned iota would draw independent
+    # noise on 7/8 of elements and flip ~2f(1-f)~1/3 of SR decisions
+    # immediately, so the 0.15 bound keeps full detection power.
+    cfg = get_config("flagship", epochs=1, batch_size=8,
                      eval_batch_size=8,
                      compute_dtype="bfloat16",
                      adam_moment_dtype="bfloat16",
@@ -187,7 +195,9 @@ def test_sr_master_mesh_matches_single_device():
         s1.params["cnn"]["fc1"]["kernel"]).astype(np.float32))
     b = np.asarray(jax.device_get(
         s2.params["cnn"]["fc1"]["kernel"]).astype(np.float32))
-    # gradients differ by cross-shard reduction order (bf16), so allow
-    # one-ulp disagreements on a small fraction of elements
+    # gradients differ by cross-shard reduction order (bf16), and each
+    # low-bit difference can flip an SR rounding decision where the
+    # update straddles the (identical) noise draw — allow a small
+    # fraction of such flips; a wrong noise stream would flip ~1/3
     mismatch = np.mean(a != b)
     assert mismatch < 0.15, mismatch
