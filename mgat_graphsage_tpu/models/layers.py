@@ -107,16 +107,19 @@ class TorchConv1d(nn.Module):
     (profiles/bf16_full) showed the flatten before ``CNNNet``'s fc1
     costing ~150 us/step in pure layout copies (copy.387 fwd +
     copy.403 bwd, 7% of the step; 412 us/step = 13% at batch 256).
-    Round 3 ran the convs in NCW so torch's channel-major flatten
+    Round 3 ran the bf16 convs in NCW so torch's channel-major flatten
     would be a row-major reshape — but XLA still lays the NCW conv
     output out position-minor ({0,2,1}), so the copy survived.  Round 4
     fixed it at the flatten instead: ``CNNNet`` flattens POS-major
     (``[B, W, C] -> [B, W*C]``, free in XLA's chosen layout) with the
-    fc1 kernel rows stored permuted to match.  (A round-3 attempt
-    expressed fc1 as a two-contracting-dim einsum instead — XLA
-    resolved it by transposing the 67MB kernel every step and the step
-    REGRESSED 2.20->2.69 ms; the layout must be fixed where it is
-    cheap, not inside the matmul.)
+    fc1 kernel rows stored permuted to match — after which NCW and NWC
+    compile to the IDENTICAL program (traced,
+    profiles/bf16_full_bs256_posmajor), so ``CNNNet`` now uses plain
+    NWC for every dtype and ``ncw=True`` remains only as a tested
+    layout option.  (A round-3 attempt expressed fc1 as a
+    two-contracting-dim einsum instead — XLA resolved it by transposing
+    the 67MB kernel every step and the step REGRESSED 2.20->2.69 ms;
+    the layout must be fixed where it is cheap, not inside the matmul.)
     """
 
     features: int
@@ -499,27 +502,26 @@ class CNNNet(nn.Module):
     @nn.compact
     def __call__(self, fp: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        # bf16 compute runs the conv stack in torch's native NCW layout
-        # (see TorchConv1d); f32 keeps the TPU-standard NWC.
-        ncw = fp.dtype == jnp.bfloat16
-        # fp: [B, nbits] -> [B, 1, nbits] (NCW) or [B, nbits, 1] (NWC)
-        x = fp[:, None, :] if ncw else fp[..., None]
+        # One layout for every dtype: TPU-standard NWC.  (Round 3 ran
+        # bf16 in torch's NCW to help the then-channel-major flatten;
+        # with the pos-major flatten below, NCW and NWC compile to the
+        # IDENTICAL program — traced, profiles/bf16_full_bs256_posmajor
+        # — so the dual path was retired.)
+        x = fp[..., None]  # [B, nbits] -> [B, nbits, 1]
         for i, ch in enumerate((32, 64, 128)):
-            x = TorchConv1d(features=ch, name=f"conv{i + 1}")(x, ncw=ncw)
+            x = TorchConv1d(features=ch, name=f"conv{i + 1}")(x)
             x = nn.relu(x)
         # POS-MAJOR flatten (divergence from torch's channel-major
-        # x.view(B, -1), reference train.py:141): both layouts flatten
-        # as [B, W, C] -> [B, W*C], which is the physically free reshape
-        # — XLA lays conv output out position-minor ({0,2,1} for NCW),
-        # so torch's channel-major flatten costs a materialized copy
-        # each way (412 us/step at batch 256, 13% of the step —
-        # profiles/bf16_full_bs256/OPS.json copy.387/copy.403).  The
-        # fc1 kernel rows are stored pos-major (row = w*128 + c) to
-        # match; torch interchange permutes ONCE at conversion
-        # (cnn_fc1_torch_to_pos_major), so checkpoints and parity are
-        # exact.  Measured: 77.9k -> 84.1k mol/s at batch 256.
-        if ncw:
-            x = jnp.swapaxes(x, -1, -2)
+        # x.view(B, -1), reference train.py:141): [B, W, C] -> [B, W*C]
+        # is the physically free reshape — XLA lays conv output out
+        # position-minor, so torch's channel-major flatten costs a
+        # materialized copy each way (412 us/step at batch 256, 13% of
+        # the step — profiles/bf16_full_bs256/OPS.json
+        # copy.387/copy.403).  The fc1 kernel rows are stored pos-major
+        # (row = w*128 + c) to match; torch interchange permutes ONCE
+        # at conversion (cnn_fc1_torch_to_pos_major), so checkpoints
+        # and parity are exact.  Measured: 77.9k -> 84.6k mol/s at
+        # batch 256 (BENCH_STEP.json), 59.0k -> 70.0k at batch 128.
         x = x.reshape(x.shape[0], -1)
         x = TorchLinear(self.fc_hidden, name="fc1")(x)
         x = nn.relu(x)

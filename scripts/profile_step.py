@@ -36,6 +36,9 @@ def main():
                     choices=sorted(CONFIGS))
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--name", default=None,
+                    help="profiles/<name> output dir (default: config, "
+                         "plus _bs<batch> when batch != 128)")
     args = ap.parse_args()
 
     sm, y = load_csv(TRAIN_CSV)
@@ -58,8 +61,10 @@ def main():
     state, m = trainer._train_epoch_scan(state, perm, smask, rng, data)
     jax.block_until_ready(m)
 
+    name = args.name or (args.config if args.batch == 128
+                         else f"{args.config}_bs{args.batch}")
     out_dir = os.path.join(os.path.dirname(__file__), "..", "profiles",
-                           args.config)
+                           name)
     os.makedirs(out_dir, exist_ok=True)
     with jax.profiler.trace(out_dir):
         state, m = trainer._train_epoch_scan(state, perm, smask, rng,

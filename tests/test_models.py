@@ -191,10 +191,11 @@ def test_dropout_active_in_train_mode():
     assert np.abs(np.asarray(out_d - out_e)).max() > 1e-6
 
 
-def test_cnn_bf16_ncw_path_matches_f32_nwc_path():
-    """CNNNet's bf16 NCW conv stack + free channel-major reshape must
-    compute the same function as the f32 NWC + swapaxes path (to bf16
-    tolerance), with an identical param tree."""
+def test_cnn_bf16_matches_f32():
+    """CNNNet under bf16 params/inputs must compute the same function
+    as under f32 (to bf16 tolerance), with an identical param tree.
+    (Both dtypes share ONE NWC path since the pos-major flatten landed;
+    this also pins the fc1 kernel's 2-D [C*W, F] shape.)"""
     from mgat_graphsage_tpu.models import CNNNet
 
     model = CNNNet(input_dim=256, output_dim=256)
