@@ -96,7 +96,7 @@ def apply_updates_stochastic_round(params, updates, key):
 
 
 def torch_adam_sr_update(grads, state, params, key,
-                         lr: float, weight_decay: float = 0.0,
+                         lr, weight_decay: float = 0.0,
                          b1: float = 0.9, b2: float = 0.999,
                          eps: float = 1e-8,
                          moment_dtype: str = "bfloat16"):
@@ -120,6 +120,7 @@ def torch_adam_sr_update(grads, state, params, key,
     cf = count.astype(jnp.float32)
     c1 = 1.0 - b1 ** cf
     c2 = 1.0 - b2 ** cf
+    lr_t = lr(cf) if callable(lr) else lr
     salt0 = _key_salt(key)
 
     leaves, treedef = jax.tree_util.tree_flatten(params)
@@ -135,7 +136,7 @@ def torch_adam_sr_update(grads, state, params, key,
             g = g + weight_decay * p32
         m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
         v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
-        upd = (-lr) * (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
+        upd = (-lr_t) * (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
         x = p32 + upd
         if p.dtype == jnp.bfloat16:
             bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
@@ -153,11 +154,17 @@ def torch_adam_sr_update(grads, state, params, key,
         count=count, mu=unf(treedef, new_m), nu=unf(treedef, new_v))
 
 
-def torch_adam(lr: float, weight_decay: float = 0.0, b1: float = 0.9,
+def torch_adam(lr, weight_decay: float = 0.0, b1: float = 0.9,
                b2: float = 0.999, eps: float = 1e-8,
                moment_dtype: str = "float32"
                ) -> optax.GradientTransformation:
-    """Single-pass Adam + L2; ``moment_dtype`` in {'float32','bfloat16'}."""
+    """Single-pass Adam + L2; ``moment_dtype`` in {'float32','bfloat16'}.
+
+    ``lr`` is a float (constant — the reference's behavior) or a
+    callable mapping the 1-based f32 step count to a scalar lr
+    (schedules; built by ``trainer._lr_schedule``).  The scheduled lr
+    is a scalar computed once per update — it adds no per-element HBM
+    traffic to the fused optimizer pass."""
     mdt = jnp.bfloat16 if moment_dtype == "bfloat16" else jnp.float32
 
     def init(params):
@@ -174,6 +181,7 @@ def torch_adam(lr: float, weight_decay: float = 0.0, b1: float = 0.9,
         cf = count.astype(jnp.float32)
         c1 = 1.0 - b1 ** cf
         c2 = 1.0 - b2 ** cf
+        lr_t = lr(cf) if callable(lr) else lr
 
         def leaf(g, p, m, v):
             # explicit f32: with bf16 master params AND bf16 grads the
@@ -184,7 +192,7 @@ def torch_adam(lr: float, weight_decay: float = 0.0, b1: float = 0.9,
                 else g
             m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
             v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
-            upd = (-lr) * (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
+            upd = (-lr_t) * (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
             return upd, m2.astype(mdt), v2.astype(mdt)
 
         is3 = lambda t: isinstance(t, tuple)  # noqa: E731

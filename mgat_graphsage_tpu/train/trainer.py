@@ -99,14 +99,46 @@ def build_model(cfg: TrainConfig):
     raise ValueError(f"unknown model {cfg.model!r}")
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def _lr_schedule(cfg: TrainConfig, total_steps: int):
+    """cfg -> constant float lr, or a jittable count->lr schedule.
+
+    ``warmup_cosine``: linear warmup over ``cfg.warmup_steps`` steps,
+    then cosine decay from ``cfg.lr`` down to
+    ``cfg.lr * cfg.lr_final_ratio`` across the remaining
+    ``total_steps``.  The reference trains at constant lr
+    (``train.py:209``); schedules are this framework's opt-in extension
+    for large-batch configs."""
+    if cfg.lr_schedule == "constant":
+        return cfg.lr
+    if cfg.lr_schedule != "warmup_cosine":
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r} "
+                         "(expected 'constant' or 'warmup_cosine')")
+    warm = max(int(cfg.warmup_steps), 1)
+    floor = cfg.lr * cfg.lr_final_ratio
+    span = max(int(total_steps) - warm, 1)
+
+    def sched(count):  # count: 1-based f32 optimizer step
+        wlr = cfg.lr * jnp.minimum(count / warm, 1.0)
+        prog = jnp.clip((count - warm) / span, 0.0, 1.0)
+        clr = floor + 0.5 * (cfg.lr - floor) * (1.0 + jnp.cos(
+            jnp.pi * prog))
+        return jnp.where(count <= warm, wlr, clr)
+
+    return sched
+
+
+def make_optimizer(cfg: TrainConfig,
+                   total_steps: int = 0) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, weight_decay): L2 folded into the gradient
     before the Adam moments (NOT decoupled AdamW).  Single-pass fused
     implementation with configurable moment storage dtype
-    (see train/optim.py for the measured HBM analysis)."""
+    (see train/optim.py for the measured HBM analysis).  With
+    ``cfg.lr_schedule != 'constant'``, ``total_steps`` sizes the decay
+    (the Trainer passes epochs x steps-per-epoch)."""
     from .optim import torch_adam
 
-    return torch_adam(cfg.lr, weight_decay=cfg.weight_decay,
+    return torch_adam(_lr_schedule(cfg, total_steps),
+                      weight_decay=cfg.weight_decay,
                       moment_dtype=cfg.adam_moment_dtype)
 
 
@@ -133,7 +165,11 @@ class Trainer:
         self.train_ds = train_ds
         self.val_ds = val_ds
         self.model = build_model(cfg)
-        self.tx = make_optimizer(cfg)
+        steps_per_epoch = max(
+            -(-len(train_ds) // cfg.batch_size), 1)
+        self._total_steps = cfg.epochs * steps_per_epoch
+        self.tx = make_optimizer(cfg, total_steps=self._total_steps)
+        self._lr = _lr_schedule(cfg, self._total_steps)
         self.mesh = mesh or (make_mesh() if use_mesh else None)
         self.ckpt_dir = ckpt_dir
         self.log_path = log_path
@@ -329,7 +365,7 @@ class Trainer:
                 # f32 param/update stream ever hits HBM
                 new_params, new_opt = torch_adam_sr_update(
                     grads, state.opt_state, state.params,
-                    jax.random.fold_in(rng, 0x5e), lr=cfg.lr,
+                    jax.random.fold_in(rng, 0x5e), lr=self._lr,
                     weight_decay=cfg.weight_decay,
                     moment_dtype=cfg.adam_moment_dtype)
             else:

@@ -79,6 +79,11 @@ HYPERPARAM_TABLE = {
     # qualified by the 3-seed study in SEED_REPEAT.json)
     "flagship_bf16_bs256": (1e-3, 1e-4, 0.001, 256, 64, 1000, 0.3, True,
                             "original_mse"),
+    # bs-512 + sqrt-scaled lr under warmup+cosine (this framework's
+    # qualified large-batch recipe, NOT a reference config — 3-seed
+    # study in SEED_REPEAT.json beats the f32 flagship envelope)
+    "flagship_bf16_bs512_wc": (2e-3, 1e-4, 0.001, 512, 64, 1000, 0.3,
+                               True, "original_mse"),
     "model6":        _FLAG,
     "model1": (1e-4, 0.0, 0.0, 64, 32, 1000, 0.2, False, "val_mse"),
     "model2": (5e-3, 0.0, 0.0, 128, 64, 1000, 0.2, False, "val_mse"),
