@@ -156,7 +156,8 @@ def torch_adam_sr_update(grads, state, params, key,
 
 def torch_adam(lr, weight_decay: float = 0.0, b1: float = 0.9,
                b2: float = 0.999, eps: float = 1e-8,
-               moment_dtype: str = "float32"
+               moment_dtype: str = "float32",
+               factored_v_min_size: int = 0
                ) -> optax.GradientTransformation:
     """Single-pass Adam + L2; ``moment_dtype`` in {'float32','bfloat16'}.
 
@@ -164,15 +165,41 @@ def torch_adam(lr, weight_decay: float = 0.0, b1: float = 0.9,
     callable mapping the 1-based f32 step count to a scalar lr
     (schedules; built by ``trainer._lr_schedule``).  The scheduled lr
     is a scalar computed once per update — it adds no per-element HBM
-    traffic to the fused optimizer pass."""
+    traffic to the fused optimizer pass.
+
+    ``factored_v_min_size > 0`` (opt-in; ``TrainConfig.adam_factored_v``)
+    stores the second moment of 2-D leaves with at least that many
+    elements as an Adafactor-style rank-1 factorization — two f32
+    vectors (row/column EMAs of ``g**2``) instead of a full matrix.
+    The update reconstructs ``v_hat = outer(r, c) / mean(r)`` per step
+    (registers only; no v matrix ever touches HBM), keeping Adam's m,
+    bias corrections, and update formula.  Motivation is pure BYTES on
+    the hybrid's 33.5M-param CNN fc1: the v read+write is 4 of the
+    ~20 bytes/param the traced fc1 grad+Adam fusion streams at ~96% of
+    HBM peak (profiles/bf16_full_bs256_posmajor), plus 67-134 MB of
+    HBM capacity back.  Factored-leaf state is a plain ``(r, c)``
+    tuple inside ``ScaleByAdamState.nu`` (checkpoint-serializable;
+    the params tree is dicts-of-arrays, so tuples unambiguously mark
+    factored leaves)."""
     mdt = jnp.bfloat16 if moment_dtype == "bfloat16" else jnp.float32
+
+    def _factored(p) -> bool:
+        return (factored_v_min_size > 0 and p.ndim == 2
+                and p.size >= factored_v_min_size)
 
     def init(params):
         z = lambda p: jnp.zeros_like(p, dtype=mdt)  # noqa: E731
+
+        def zv(p):
+            if _factored(p):
+                return (jnp.zeros((p.shape[0],), jnp.float32),
+                        jnp.zeros((p.shape[1],), jnp.float32))
+            return z(p)
+
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32),
             mu=jax.tree_util.tree_map(z, params),
-            nu=jax.tree_util.tree_map(z, params))
+            nu=jax.tree_util.tree_map(zv, params))
 
     def update(grads, state, params):
         if params is None:
@@ -191,16 +218,36 @@ def torch_adam(lr, weight_decay: float = 0.0, b1: float = 0.9,
             g = g + weight_decay * p.astype(jnp.float32) if weight_decay \
                 else g
             m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+            if isinstance(v, tuple):  # factored second moment (r, c)
+                g2 = g * g
+                r2 = b2 * v[0] + (1.0 - b2) * g2.mean(axis=1)
+                cc2 = b2 * v[1] + (1.0 - b2) * g2.mean(axis=0)
+                # rank-1 estimate of E[g^2]; mean(r2) normalizes so the
+                # estimate is exact when g^2 is itself rank-1.  The b2
+                # bias factor is shared by r2/cc2/mean(r2), so dividing
+                # the reconstruction by c2 corrects it exactly as for
+                # the full v.
+                vhat = (r2[:, None] * cc2[None, :]
+                        / jnp.maximum(r2.mean(), 1e-30))
+                upd = (-lr_t) * (m2 / c1) / (jnp.sqrt(vhat / c2) + eps)
+                return upd, m2.astype(mdt), (r2, cc2)
             v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
             upd = (-lr_t) * (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
             return upd, m2.astype(mdt), v2.astype(mdt)
 
         is3 = lambda t: isinstance(t, tuple)  # noqa: E731
-        out = jax.tree_util.tree_map(leaf, grads, params, state.mu,
-                                     state.nu)
-        updates = jax.tree_util.tree_map(lambda t: t[0], out, is_leaf=is3)
-        mu = jax.tree_util.tree_map(lambda t: t[1], out, is_leaf=is3)
-        nu = jax.tree_util.tree_map(lambda t: t[2], out, is_leaf=is3)
-        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+        tu = jax.tree_util
+        g_leaves, treedef = tu.tree_flatten(grads)
+        p_leaves = tu.tree_leaves(params)
+        m_leaves = tu.tree_leaves(state.mu)
+        # stop at the (r, c) tuples marking factored leaves — the
+        # params tree is dicts-of-arrays, so tuples appear nowhere else
+        v_leaves = tu.tree_leaves(state.nu, is_leaf=is3)
+        out = [leaf(g, p, m, v) for g, p, m, v in
+               zip(g_leaves, p_leaves, m_leaves, v_leaves)]
+        unf = lambda xs: tu.tree_unflatten(treedef, xs)  # noqa: E731
+        return unf([t[0] for t in out]), optax.ScaleByAdamState(
+            count=count, mu=unf([t[1] for t in out]),
+            nu=unf([t[2] for t in out]))
 
     return optax.GradientTransformation(init, update)

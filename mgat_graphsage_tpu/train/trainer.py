@@ -139,7 +139,9 @@ def make_optimizer(cfg: TrainConfig,
 
     return torch_adam(_lr_schedule(cfg, total_steps),
                       weight_decay=cfg.weight_decay,
-                      moment_dtype=cfg.adam_moment_dtype)
+                      moment_dtype=cfg.adam_moment_dtype,
+                      factored_v_min_size=(1 << 20)
+                      if cfg.adam_factored_v else 0)
 
 
 def _masked_mse(pred, target, sample_mask):
@@ -161,6 +163,10 @@ class Trainer:
             raise ValueError(
                 "master_dtype='bfloat16' requires compute_dtype="
                 "'bfloat16' (the bf16 master IS the compute copy)")
+        if cfg.adam_factored_v and cfg.master_dtype == "bfloat16":
+            raise ValueError(
+                "adam_factored_v is not supported with master_dtype="
+                "'bfloat16' (the fused SR update path keeps a full v)")
         self.cfg = cfg
         self.train_ds = train_ds
         self.val_ds = val_ds

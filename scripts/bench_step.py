@@ -35,6 +35,12 @@ CONFIGS = {
     "bf16_master_sr": {"adam_moment_dtype": "bfloat16",
                        "compute_dtype": "bfloat16",
                        "master_dtype": "bfloat16"},
+    # round 4: Adafactor-style factored second moment on the 33.5M-param
+    # CNN fc1 (train/optim.py) — drops v's read+write (4 of ~20
+    # bytes/param) from the HBM-bound fc1 grad+Adam fusion
+    "bf16_full_fv": {"adam_moment_dtype": "bfloat16",
+                     "compute_dtype": "bfloat16",
+                     "adam_factored_v": True},
 }
 # (a bf16 grad-storage variant measured identical to bf16_full —
 # 2.465 vs 2.471 ms/step — XLA already fuses backward into the
@@ -84,6 +90,9 @@ def main():
     ap.add_argument("--n-molecules", type=int, default=2048)
     ap.add_argument("--extra-batch-sizes", type=int, nargs="*",
                     default=[])
+    ap.add_argument("--fv-batch-sizes", type=int, nargs="*", default=[],
+                    help="also time bf16_full_fv (factored v) at these "
+                         "batch sizes")
     ap.add_argument("--configs", nargs="*", default=None,
                     choices=sorted(CONFIGS),
                     help="subset of CONFIGS to run (default: all); "
@@ -103,6 +112,10 @@ def main():
     for bs in args.extra_batch_sizes:
         rows.append(bench_config(f"bf16_full_bs{bs}",
                                  CONFIGS["bf16_full"], ds, bs,
+                                 args.steps))
+    for bs in args.fv_batch_sizes:
+        rows.append(bench_config(f"bf16_full_fv_bs{bs}",
+                                 CONFIGS["bf16_full_fv"], ds, bs,
                                  args.steps))
     out = {"device": jax.devices()[0].device_kind, "rows": rows}
     if set(chosen) == set(CONFIGS):

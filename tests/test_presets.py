@@ -84,6 +84,11 @@ HYPERPARAM_TABLE = {
     # study in SEED_REPEAT.json beats the f32 flagship envelope)
     "flagship_bf16_bs512_wc": (2e-3, 1e-4, 0.001, 512, 64, 1000, 0.3,
                                True, "original_mse"),
+    # bs-1024 + sqrt-scaled lr (2.83e-3) under warmup+cosine — the
+    # promoted production preset (3-seed study in SEED_REPEAT.json
+    # beats both the f32 envelope and bs512_wc)
+    "flagship_bf16_bs1024_wc": (2.83e-3, 1e-4, 0.001, 1024, 64, 1000,
+                                0.3, True, "original_mse"),
     "model6":        _FLAG,
     "model1": (1e-4, 0.0, 0.0, 64, 32, 1000, 0.2, False, "val_mse"),
     "model2": (5e-3, 0.0, 0.0, 128, 64, 1000, 0.2, False, "val_mse"),
