@@ -87,9 +87,13 @@ class TrainConfig:
     # point is BYTES — v's read+write is 4 of the ~20 bytes/param the
     # traced fc1 grad+Adam fusion streams at ~96% of HBM peak
     # (train/optim.py, profiles/bf16_full_bs256_posmajor) — plus the
-    # ~67-134 MB of HBM capacity v occupied.  Changes the optimizer
-    # trajectory (rank-1 v estimate), so it is OFF everywhere except
-    # presets whose quality is seed-qualified in SEED_REPEAT.json.
+    # ~67-134 MB of HBM capacity v occupied.  MEASURED SLOWER at every
+    # batch size (BENCH_STEP.json bf16_full_fv* rows: 2.013 vs 1.799
+    # ms/step at bs 128; 103.4k vs 106.2k mol/s at bs 1024 — the
+    # reconstruction breaks the fc1 grad+Adam fusion; docs/DESIGN.md
+    # dead-end note), so this is an HBM-*capacity* mode, not a
+    # throughput mode.  Changes the optimizer trajectory (rank-1 v
+    # estimate), so it is OFF in every preset.
     adam_factored_v: bool = False
     # Activation rematerialization (jax.checkpoint around the forward
     # inside the grad): trades one extra forward's FLOPs for dropping
@@ -150,21 +154,22 @@ PRESETS: Dict[str, TrainConfig] = {
     # recipe relaxed to batch 256 — qualified by a 3-seed full-recipe
     # study (SEED_REPEAT.json): test RMSE 0.4629 +/- 0.0084, INSIDE the
     # f32-bs128 envelope (0.4602 +/- 0.0058) and better than
-    # flagship_bf16@128 (0.4739 +/- 0.0040), at ~78k mol/s step rate
-    # (BENCH_STEP.json bs256 row; 1.32x the bs-128 bf16 rate).  Eval
-    # batch stays the reference's 64.
+    # flagship_bf16@128 (0.4739 +/- 0.0040), at ~85k mol/s step rate
+    # (BENCH_STEP.json bf16_full_bs256 row; 1.2x the bs-128 bf16
+    # rate).  Eval batch stays the reference's 64.
     "flagship_bf16_bs256": _p(name="flagship_bf16_bs256",
                               compute_dtype="bfloat16",
                               adam_moment_dtype="bfloat16",
                               batch_size=256),
-    # maximum-throughput qualified preset (VERDICT r3 next #1): batch
-    # 512 with a sqrt-scaled lr (2e-3) under warmup(300)+cosine.  The
+    # qualified large-batch preset (VERDICT r3 next #1): batch 512
+    # with a sqrt-scaled lr (2e-3) under warmup(300)+cosine.  The
     # plain recipe at bs 512 degrades (RMSE 0.4726 +/- 0.0103 at lr
     # 1e-3, 0.4809 +/- 0.0144 at constant lr 2e-3 — SEED_REPEAT.json),
     # but the scheduled variant BEATS the f32-bs128 flagship: test RMSE
     # 0.4448 +/- 0.0112 vs 0.4602 +/- 0.0058 (3 seeds, full 1000-epoch
-    # recipe) at the highest measured step rate (BENCH_STEP.json bs512
-    # row).  Eval batch stays the reference's 64.
+    # recipe).  Superseded as the production preset by
+    # flagship_bf16_bs1024_wc below.  Eval batch stays the
+    # reference's 64.
     "flagship_bf16_bs512_wc": _p(name="flagship_bf16_bs512_wc",
                                  compute_dtype="bfloat16",
                                  adam_moment_dtype="bfloat16",
@@ -174,11 +179,11 @@ PRESETS: Dict[str, TrainConfig] = {
     # promoted production preset (round 4): one more doubling — batch
     # 1024 with sqrt-scaled lr (1e-3 * sqrt(1024/128) = 2.83e-3) under
     # the same warmup(300)+cosine schedule.  3-seed full-recipe test
-    # RMSE 0.4391 +/- 0.0110 (per-seed 0.4313/0.4344/0.4516,
+    # RMSE 0.4391 +/- 0.0110 (per-seed 0.4313/0.4343/0.4516,
     # SEED_REPEAT.json) — beats BOTH the f32-bs128 envelope
     # (0.4602 +/- 0.0058) and bs512_wc (0.4448 +/- 0.0112) — at the
-    # highest measured step rate (~104.5k mol/s, BENCH_STEP.json bs1024
-    # row).  Eval batch stays the reference's 64.
+    # highest measured step rate (~106.2k mol/s, BENCH_STEP.json
+    # bf16_full_bs1024 row).  Eval batch stays the reference's 64.
     "flagship_bf16_bs1024_wc": _p(name="flagship_bf16_bs1024_wc",
                                   compute_dtype="bfloat16",
                                   adam_moment_dtype="bfloat16",

@@ -37,7 +37,10 @@ CONFIGS = {
                        "master_dtype": "bfloat16"},
     # round 4: Adafactor-style factored second moment on the 33.5M-param
     # CNN fc1 (train/optim.py) — drops v's read+write (4 of ~20
-    # bytes/param) from the HBM-bound fc1 grad+Adam fusion
+    # bytes/param) from the HBM-bound fc1 grad+Adam fusion.  MEASURED
+    # SLOWER at every batch size (the reconstruction breaks the fusion;
+    # docs/DESIGN.md dead-end note) — kept in the ladder as the record
+    # of that negative.
     "bf16_full_fv": {"adam_moment_dtype": "bfloat16",
                      "compute_dtype": "bfloat16",
                      "adam_factored_v": True},
