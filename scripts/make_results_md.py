@@ -6,7 +6,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-ORDER = ["flagship", "flagship_bf16", "flagship_bf16_bs512_wc", "flagship_bf16sr", "flagship_flat", "model1", "model2", "model3", "model4", "model5",
+ORDER = ["flagship", "flagship_bf16", "flagship_bf16_bs512_wc", "flagship_bf16_bs1024_wc", "flagship_bf16sr", "flagship_flat", "model1", "model2", "model3", "model4", "model5",
          "gcn", "graphsage", "gat", "gat_gcn", "gin", "chebnet",
          "morgan1024", "morgan2048", "ecfp2048", "fcfp", "maccs",
          "smifp", "bci"]
@@ -14,7 +14,8 @@ ORDER = ["flagship", "flagship_bf16", "flagship_bf16_bs512_wc", "flagship_bf16sr
 DESC = {
     "flagship": "hybrid M-GAT-GraphSAGE + ECFP-CNN + KL (reference train.py)",
     "flagship_bf16": "flagship in bf16 mixed precision at the reference batch (128)",
-    "flagship_bf16_bs512_wc": "PROMOTED production config: bf16, batch 512, sqrt-scaled lr 2e-3 under warmup(300)+cosine",
+    "flagship_bf16_bs512_wc": "bf16, batch 512, sqrt-scaled lr 2e-3 under warmup(300)+cosine (beats the f32 envelope; superseded by bs1024)",
+    "flagship_bf16_bs1024_wc": "PROMOTED production config: bf16, batch 1024, sqrt-scaled lr 2.83e-3 under warmup(300)+cosine",
     "flagship_bf16sr": "flagship w/ bf16 master params + stochastic rounding (HBM-capacity mode; measured slower than flagship_bf16)",
     "flagship_flat": "flagship with the reference's batch-global attention quirk",
     "model1": "ablation 1: PyG-style GAT(h=10)+SAGE, dual pool",
@@ -68,17 +69,19 @@ def main(results_path="RESULTS.json", out_path="RESULTS.md"):
         # (label, summary key, batch, step-rate string). Step rates are
         # the round-4 BENCH_STEP.json numbers (post pos-major flatten).
         configs = [
-            ("flagship (f32 parity)", "flagship", 128, "45.8k mol/s"),
-            ("flagship_bf16", "flagship_bf16", 128, "70.0k mol/s"),
+            ("flagship (f32 parity)", "flagship", 128, "46.7k mol/s"),
+            ("flagship_bf16", "flagship_bf16", 128, "71.2k mol/s"),
             ("flagship_bf16_bs256", "flagship_bf16_bs256", 256,
-             "84.6k mol/s"),
+             "85.4k mol/s"),
             ("flagship_bf16 @ bs512, constant lr 1e-3 (not promoted)",
-             "flagship_bf16_bs512", 512, "98.1k mol/s"),
+             "flagship_bf16_bs512", 512, "98.7k mol/s"),
             ("flagship_bf16 @ bs512, constant lr 2e-3 (not promoted)",
-             "flagship_bf16_bs512_lr2e3", 512, "98.1k mol/s"),
-            ("**flagship_bf16_bs512_wc** (PROMOTED: lr 2e-3, "
-             "warmup 300 + cosine)", "flagship_bf16_bs512_wc", 512,
-             "98.1k mol/s"),
+             "flagship_bf16_bs512_lr2e3", 512, "98.7k mol/s"),
+            ("flagship_bf16_bs512_wc (lr 2e-3, warmup 300 + cosine)",
+             "flagship_bf16_bs512_wc", 512, "98.7k mol/s"),
+            ("**flagship_bf16_bs1024_wc** (PROMOTED: lr 2.83e-3, "
+             "warmup 300 + cosine)", "flagship_bf16_bs1024_wc", 1024,
+             "106.2k mol/s"),
         ]
         lines += [
             "",
@@ -121,10 +124,17 @@ def main(results_path="RESULTS.json", out_path="RESULTS.md"):
             "the bf16@128 quality class — but the sqrt-scaled lr "
             "under a 300-step linear warmup + cosine decay to lr/10 "
             "(`flagship_bf16_bs512_wc`) reaches RMSE **0.4448 ± "
-            "0.0112, BEATING the f32 envelope** on all three metrics, "
-            "so it is the promoted production preset and the bench.py "
-            "headline config at ~98k mol/s — 2.14× the f32-parity "
-            "step rate with better-than-f32 test error.",
+            "0.0112, beating the f32 envelope** on all three metrics. "
+            "One more doubling under the same schedule "
+            "(`flagship_bf16_bs1024_wc`, lr 1e-3·√(1024/128) = "
+            "2.83e-3) improves it again: RMSE **0.4391 ± 0.0110, "
+            "Pearson r 0.9282 ± 0.0027 — beating both the f32 "
+            "envelope and bs512_wc** — so it is the promoted "
+            "production preset and the bench.py headline config at "
+            "~106k mol/s isolated step rate, 2.27× the f32-parity "
+            "step rate with better-than-f32 test error. (The batch "
+            "is 1/3 of the 3,000-molecule train split; the warmup "
+            "covers the first 300 of 3,000 total steps.)",
         ]
     lines += [
         "",
