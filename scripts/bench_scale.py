@@ -48,14 +48,18 @@ def tiled_dataset(base: MolecularDataset, n: int) -> MolecularDataset:
     return ds
 
 
-def bench_one(base, n, storage, batch_size):
+def bench_one(base, n, storage, batch_size, preset="flagship"):
     ds = tiled_dataset(base, n)
     plain_gb = plain_nbytes(ds) / GIB
     packed_gb = packed_nbytes(ds) / GIB
-    cfg = get_config("flagship", batch_size=batch_size,
-                     adam_moment_dtype="bfloat16",
-                     compute_dtype="bfloat16",
-                     dataset_storage=storage)
+    over = dict(dataset_storage=storage)
+    if batch_size is not None:
+        over["batch_size"] = batch_size
+    if preset == "flagship":
+        # historical default rows: flagship shapes + bf16 step
+        over.update(adam_moment_dtype="bfloat16", compute_dtype="bfloat16")
+    cfg = get_config(preset, **over)
+    batch_size = cfg.batch_size
     trainer = Trainer(cfg, ds, None)
     state = trainer.init_state()
     trainer._build_steps()
@@ -82,7 +86,8 @@ def bench_one(base, n, storage, batch_size):
         float(m)
         best = min(best, time.perf_counter() - t0)
     row = {
-        "n_molecules": n, "storage": storage, "batch_size": batch_size,
+        "n_molecules": n, "storage": storage, "preset": preset,
+        "batch_size": batch_size,
         "dataset_gb_plain": round(plain_gb, 3),
         "dataset_gb_packed": round(packed_gb, 3),
         "dataset_gb_resident": round(
@@ -109,9 +114,18 @@ def main():
                     default=[16384, 262144])
     ap.add_argument("--storage", choices=["float32", "compact", "both"],
                     default="both")
-    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="override the preset's batch size "
+                         "(historical default rows used 128)")
+    ap.add_argument("--preset", default="flagship",
+                    help="train/config.py preset for the step program")
+    ap.add_argument("--merge", action="store_true",
+                    help="append rows to an existing --out file instead "
+                         "of overwriting it")
     ap.add_argument("--out", default="BENCH_SCALE.json")
     args = ap.parse_args()
+    if args.preset == "flagship" and args.batch_size is None:
+        args.batch_size = 128  # preserve the historical default rows
 
     sm, y = load_csv(TRAIN_CSV)
     base = MolecularDataset(sm, y, fit_scaler=True,
@@ -120,11 +134,15 @@ def main():
           f"shapes N={base.max_nodes} E={base.max_edges}", file=sys.stderr)
 
     rows = []
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            rows = json.load(f)["rows"]
     for n in args.sizes:
         modes = (["float32", "compact"] if args.storage == "both"
                  else [args.storage])
         for storage in modes:
-            rows.append(bench_one(base, n, storage, args.batch_size))
+            rows.append(bench_one(base, n, storage, args.batch_size,
+                                  preset=args.preset))
 
     out = {"device": jax.devices()[0].device_kind, "rows": rows}
     with open(args.out, "w") as f:
