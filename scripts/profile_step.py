@@ -34,8 +34,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="bf16_full",
                     choices=sorted(CONFIGS))
+    ap.add_argument("--preset", default=None,
+                    help="profile an exact named preset (e.g. the "
+                         "promoted flagship_bf16_bs1024_wc) instead of a "
+                         "bench_step CONFIGS ladder point; --batch then "
+                         "defaults to the preset's own batch size")
     ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--name", default=None,
                     help="profiles/<name> output dir (default: config, "
                          "plus _bs<batch> when batch != 128)")
@@ -44,8 +49,19 @@ def main():
     sm, y = load_csv(TRAIN_CSV)
     ds = MolecularDataset(sm, y, fit_scaler=True, fingerprint="ecfp1024",
                           verbose=False)
-    cfg = get_config("flagship", batch_size=args.batch,
-                     **CONFIGS[args.config])
+    if args.preset is not None:
+        cfg = get_config(args.preset)
+        if args.batch is not None:
+            cfg = cfg.replace(batch_size=args.batch)
+        args.batch = cfg.batch_size
+        if args.name is None:
+            args.name = args.preset
+        args.config = args.preset
+    else:
+        if args.batch is None:
+            args.batch = 128
+        cfg = get_config("flagship", batch_size=args.batch,
+                         **CONFIGS[args.config])
     trainer = Trainer(cfg, ds, None)
     state = trainer.init_state()
     trainer._build_steps()
