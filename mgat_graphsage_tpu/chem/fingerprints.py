@@ -204,6 +204,13 @@ def morgan_fingerprint(
         new_envs = list(env_bonds)
         round_items: List[Tuple[int, int, frozenset]] = []
         for a in mol.GetAtoms():
+            if rdkit and not a._bond_idxs:
+                # RDKit emits ONLY the radius-0 invariant for isolated
+                # atoms (degree 0 -> no environment to grow; ECFP4 of
+                # methane is exactly one bit).  The crc32 layout keeps
+                # its original behavior — it is this repo's own frozen
+                # layout and committed artifacts depend on it.
+                continue
             nb = []
             bonds_here = set(env_bonds[a.idx])
             for bidx in a._bond_idxs:

@@ -317,3 +317,53 @@ def test_boost_hash_combine_reference_values():
     expect = s1 ^ ((2 + 0x9E3779B9 + ((s1 << 6) & 0xFFFFFFFF)
                     + (s1 >> 2)) & 0xFFFFFFFF)
     assert _boost_hash_u32([0, 2]) == expect & 0xFFFFFFFF
+
+
+def test_rdkit_layout_hand_derived_goldens():
+    """END-TO-END goldens for the RDKit-layout Morgan (VERDICT r4 #3):
+    the full invariant-tuple -> boost hash_combine chain -> folded bit
+    index was HAND-DERIVED for three tiny molecules and the exact bit
+    positions are pinned here.  A deliberate off-by-one anywhere in the
+    chain (component order in the connectivity invariant, neighbor
+    sort key, bond codes, the round prefix, the dedupe rule) moves at
+    least one of these named bits.
+
+    Derivation (independent arithmetic, not this module's helpers;
+    hash_combine step: seed ^= v + 0x9E3779B9 + (seed<<6) + (seed>>2)):
+
+    * methane ``C``: connectivity invariant over [atomicNum=6,
+      totalDegree=0+4H=4, numHs=4, charge=0, deltaMass=0] (no ring
+      flag) = 2246733040 -> bit 2246733040 % 1024 = **240**, and it is
+      the ONLY bit: an isolated atom has no environment to grow, so
+      radius-1/2 emit nothing (RDKit's degree-0 behavior).
+    * ethanol ``CCO``: r0 invariants C0 [6,4,3,0,0]=2246728737->33,
+      C1 [6,4,2,0,0]=2245384272->80, O2 [8,2,1,0,0]=864662311->807;
+      r1 streams [1, id_self, (bondCode, nbrId)...] with neighbors
+      sorted code-major: C0 [1,i0,1,i1]->305766086->710,
+      C1 [1,i1,1,i0,1,i2]->1859534798->974,
+      O2 [1,i2,1,i1]->2850559698->722.  Radius-2: every env is the
+      full bond set {b0,b1}, already emitted at r1 by the central C
+      (cross-round bond-set dedupe) -> NO r2 bits.
+      Expected on-bits exactly {33, 80, 710, 722, 807, 974}.
+    * acetaldehyde ``CC=O`` (double-bond code 2 + the code-major
+      neighbor sort): r0 C0 [6,4,3,0,0]->33, C1 [6,3,1,0,0]->694,
+      O2 [8,1,0,0,0]->650; r1 C0 [1,i0,1,i1]->364,
+      C1 [1,i1,1,i0,2,i2]->665 (sorting the neighbor list id-major
+      instead would hash to bit 22 — pinned below), O2 [1,i2,2,i1]->98.
+      Expected exactly {33, 98, 364, 650, 665, 694}.
+    """
+    cases = {
+        "C": [240],
+        "CCO": [33, 80, 710, 722, 807, 974],
+        "CC=O": [33, 98, 364, 650, 665, 694],
+    }
+    for smi, expect in cases.items():
+        fp = morgan_fingerprint(parse_smiles(smi), radius=2, n_bits=1024,
+                                bit_layout="rdkit")
+        on = sorted(np.nonzero(fp[0])[0].astype(int).tolist())
+        assert on == expect, (smi, on, expect)
+    # the id-major mis-sort for acetaldehyde's central carbon would set
+    # bit 22 instead of 665 — assert that bit is OFF (names the failure)
+    fp = morgan_fingerprint(parse_smiles("CC=O"), radius=2, n_bits=1024,
+                            bit_layout="rdkit")
+    assert fp[0, 22] == 0.0 and fp[0, 665] == 1.0
