@@ -91,6 +91,18 @@ LOGP_DERIVED = [
     ("CCOC(=O)C", 0.5694),             # ethyl acetate: alkyl-ester O3+O9
     ("COC(=O)c1ccccc1", 1.4732),       # methyl benzoate: O3 + O10
     ("NC(=O)Oc1ccccc1", 1.1441),       # phenyl carbamate: O11 both-het
+    # Sulfonamide panel (VERDICT r4 next #8): freezes the S1 + sulfonyl
+    # O5 + sulfonamide N1 paths, none of which any earlier golden
+    # reaches.  No trustworthy published RDKit value was found in-image
+    # for any sulfonamide, so these are hand-derived from Table 1 +
+    # the typing rules (same footing as the rows above):
+    #   methanesulfonamide = C3 + 3*H1 + S1 + N1 + 2*H3 + 2*O5
+    #     = -0.2035 + 0.3690 + 0.6482 - 1.0190 + 0.4284 + 0.0670
+    ("CS(N)(=O)=O", 0.2901),           # methanesulfonamide
+    #   sulfanilamide = N3 + 2*H3 + C22 + 4*(C18+H1) + C24 + S1
+    #                   + N1 + 2*H3 + 2*O5  (aromatic ring splits the
+    #     two NH2 groups into N3 vs N1, pinning that branch too)
+    ("Nc1ccc(cc1)S(N)(=O)=O", 1.3016),  # sulfanilamide
 ]
 
 COUNTS_GOLDEN = [
