@@ -293,6 +293,8 @@ def import_baseline_checkpoint(
         dense_adjacency(jnp.zeros((1, 2, max_edges), jnp.int32),
                         jnp.zeros((1, max_edges)), max_nodes),
         jnp.ones((1, max_nodes)))
+    # axon readback-deadlock guard (see import_reference_checkpoint)
+    variables = jax.block_until_ready(variables)
     from flax.core import unfreeze
     template = jax.device_get(unfreeze(variables["params"]))
     _check_against_template(template, params)
@@ -334,6 +336,58 @@ def _check_against_template(template, converted, path=""):
                 f"{tuple(np.shape(t))}, checkpoint has "
                 f"{tuple(np.shape(c))} — wrong --preset for this "
                 f"checkpoint?")
+
+
+def fingerprint_layout_warning(preset: str, fingerprint: str) -> str:
+    """Per-fingerprint interchange caveat text (VERDICT r4 next #4).
+
+    Three classes of fingerprint, three messages:
+
+    - **Morgan family** (``ecfp*``/``fcfp*``/``morgan*``): an escape
+      hatch exists — ``fingerprint_layout='rdkit'`` feeds the imported
+      model RDKit-layout bits.
+    - **maccs / bci**: no escape hatch — this repo uses its own key
+      assignment (the true MACCS key SMARTS are proprietary; PARITY.md).
+    - **smifp**: no escape hatch *can* exist — the reference hashes
+      substrings with Python's salted ``hash()``
+      (``fingerprint/SMIFP.py:60-88``), so even the reference cannot
+      reproduce its own checkpoints across processes; there is no
+      stable layout to reproduce (docs/MIGRATION.md).
+    """
+    from .chem.fingerprints import FINGERPRINT_DIMS
+
+    common = (
+        f"importing a fingerprint-consuming preset "
+        f"('{preset}', fingerprint={fingerprint}): if this "
+        f".pth was trained with RDKit (as the reference's was, "
+        f"train.py:58-63), its CNN branch learned RDKit's bit "
+        f"POSITIONS, and this repo's default layout assigns the "
+        f"same substructures to different positions — the imported "
+        f"model would silently see permuted fingerprint inputs "
+        f"and degrade. ")
+    if f"{fingerprint}_rdkit" in FINGERPRINT_DIMS:
+        detail = (
+            "Escape hatch: pass fingerprint_layout='rdkit' (CLI: "
+            "--fingerprint-layout rdkit) to feed it RDKit-layout "
+            "Morgan bits (best-effort reimplementation; see "
+            "chem/fingerprints.py and docs/MIGRATION.md).")
+    elif fingerprint == "smifp":
+        detail = (
+            "No escape hatch exists for smifp — and none can: the "
+            "reference hashes SMILES substrings with Python's "
+            "SALTED hash() (fingerprint/SMIFP.py:60-88), so its "
+            "own checkpoints are not reproducible across processes "
+            "either; there is no stable layout to reproduce. See "
+            "docs/MIGRATION.md.")
+    else:  # maccs / bci: own key assignment, documented
+        detail = (
+            f"No RDKit-layout escape hatch exists for "
+            f"{fingerprint} (this repo uses its own key "
+            f"assignment — the true MACCS key SMARTS are "
+            f"proprietary; see PARITY.md and docs/MIGRATION.md); "
+            f"validate imported-model predictions before use.")
+    return (common + detail + " Checkpoints trained by THIS "
+            "framework's exporter are unaffected.")
 
 
 def import_reference_checkpoint(
@@ -418,18 +472,7 @@ def import_reference_checkpoint(
         import warnings
 
         warnings.warn(
-            f"importing a fingerprint-consuming preset "
-            f"('{preset}', fingerprint={cfg.fingerprint}): if this "
-            f".pth was trained with RDKit (as the reference's was, "
-            f"train.py:58-63), its CNN branch learned RDKit's Morgan "
-            f"bit POSITIONS, and this repo's default layout hashes the "
-            f"same substructures to different positions — the imported "
-            f"model would silently see permuted fingerprint inputs and "
-            f"degrade. Pass fingerprint_layout='rdkit' (CLI: "
-            f"--fingerprint-layout rdkit) to feed it RDKit-layout bits "
-            f"(best-effort reimplementation; see chem/fingerprints.py "
-            f"and docs/MIGRATION.md). Checkpoints trained by THIS "
-            f"framework's exporter are unaffected.",
+            fingerprint_layout_warning(preset, cfg.fingerprint),
             UserWarning, stacklevel=2)
     model = build_model(cfg)
     fp_dim = FINGERPRINT_DIMS[cfg.fingerprint]
@@ -440,6 +483,11 @@ def import_reference_checkpoint(
                         jnp.zeros((1, max_edges)), max_nodes),
         jnp.ones((1, max_nodes)),
         jnp.zeros((1, fp_dim)))
+    # Materialize the init output BEFORE device_get: on the tunneled
+    # axon backend a readback of a never-materialized jit output
+    # deadlocks forever (same gotcha Trainer.init_state guards; caught
+    # live driving this CLI on the chip in round 5).
+    variables = jax.block_until_ready(variables)
     from flax.core import unfreeze
     template = jax.device_get(unfreeze(variables["params"]))
     _check_against_template(template, params)

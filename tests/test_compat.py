@@ -206,6 +206,32 @@ def test_import_rdkit_layout_pins_fingerprint(reference_pth, tmp_path):
     assert not np.array_equal(a, b)
 
 
+def test_fingerprint_layout_warning_names_escape_hatches():
+    """VERDICT r4 next #4: the interchange warning must distinguish the
+    three fingerprint classes — Morgan family (escape hatch:
+    --fingerprint-layout rdkit), MACCS/BCI (no hatch, own key
+    assignment), SMIFP (no hatch CAN exist: the reference's salted
+    hash() makes even its own checkpoints unreproducible,
+    fingerprint/SMIFP.py:60-88)."""
+    from mgat_graphsage_tpu.compat import fingerprint_layout_warning
+
+    for fp in ("ecfp1024", "ecfp2048", "fcfp1024", "morgan1024",
+               "morgan2048"):
+        msg = fingerprint_layout_warning("x", fp)
+        assert "--fingerprint-layout rdkit" in msg, fp
+        assert "No RDKit-layout escape hatch" not in msg, fp
+    for fp in ("maccs", "bci"):
+        msg = fingerprint_layout_warning("x", fp)
+        assert "No RDKit-layout escape hatch" in msg, fp
+        assert "--fingerprint-layout rdkit" not in msg, fp
+    msg = fingerprint_layout_warning("x", "smifp")
+    assert "SALTED hash()" in msg and "SMIFP.py:60-88" in msg
+    assert "--fingerprint-layout rdkit" not in msg
+    # every class keeps the shared trigger phrase the e2e test pins
+    for fp in ("ecfp1024", "maccs", "smifp"):
+        assert "bit POSITIONS" in fingerprint_layout_warning("x", fp)
+
+
 def test_import_rdkit_layout_unavailable_is_clear(reference_pth, tmp_path):
     pth, _, _ = reference_pth
     with pytest.raises(ValueError, match="rdkit"):
