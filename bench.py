@@ -258,9 +258,17 @@ def bench_tpu(ds, cpu_fallback: bool = False) -> float:
         f"{achieved_gbps:.0f} GB/s ({'' if mbu is None else f'{mbu:.1%} '}"
         f"of HBM peak) on {kind}")
     if mbu is not None and mfu is not None:
-        bound = "HBM-bandwidth" if mbu > mfu else "MXU"
-        log(f"[bench] model is {bound}-bound at batch {tpu_batch} "
-            f"(Adam state traffic on the 34M-param CNN fc1 dominates)")
+        # Bound statement derived from the committed per-op trace
+        # accounting (profiles/flagship_bf16_bs1024_wc/OPS.json +
+        # docs/DESIGN.md "Round-5 trace accounting"), not from a
+        # step-level mfu/mbu comparison: at this batch neither
+        # step-level roofline is near saturation because the step is a
+        # COMPOSITION of individually-near-roofline HBM-bound ops.
+        log(f"[bench] bound (per-op trace accounting, profiles/): "
+            f"HBM-bound on the CNN branch's [batch, 1024, C] conv "
+            f"activations + fc1/conv3 grad+Adam streams (65-98% of HBM "
+            f"peak each); the only MXU-shaped ops (fc1 fwd/dx) run at "
+            f"77-93% of MXU peak and are <9% of the step")
 
     # ---- optional profiler trace artifact ----
     if os.environ.get("BENCH_TRACE", "0") == "1":
