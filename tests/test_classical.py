@@ -5,8 +5,21 @@ dumps (reference ``pycaret.py:184-449``; VERDICT r2 next #9)."""
 import os
 
 import numpy as np
+import pytest
 
-from mgat_graphsage_tpu.compare.classical import (
+# fitting the full sklearn registry (reference-parity requirement:
+# PassiveAggressive stays in the leaderboard, pycaret.py:205) emits
+# third-party deprecation/convergence warnings on tiny fast-mode data —
+# expected, not ours to fix
+pytestmark = [
+    pytest.mark.filterwarnings(
+        "ignore:Class PassiveAggressiveRegressor is deprecated"
+        ":FutureWarning"),
+    pytest.mark.filterwarnings(
+        "ignore::sklearn.exceptions.ConvergenceWarning"),
+]
+
+from mgat_graphsage_tpu.compare.classical import (  # noqa: E402
     build_models,
     comprehensive_modeling,
     feature_names,

@@ -51,9 +51,11 @@ def test_import_and_prediction_parity(reference_pth, tmp_path):
 
     pth, tmodel, sk_scaler = reference_pth
     out = str(tmp_path / "imported.msgpack")
-    out_path, meta = import_reference_checkpoint(
-        pth, out, preset="flagship",
-        max_nodes=MAX_NODES, max_edges=MAX_EDGES)
+    # the fingerprint-interchange caveat is part of the import contract
+    with pytest.warns(UserWarning, match="bit POSITIONS"):
+        out_path, meta = import_reference_checkpoint(
+            pth, out, preset="flagship",
+            max_nodes=MAX_NODES, max_edges=MAX_EDGES)
     assert meta["reference_normalized_mse"] == pytest.approx(0.123)
 
     model, state, cfg, scaler, (mn, me) = load_model_from_checkpoint(out)
@@ -84,8 +86,10 @@ def test_import_and_prediction_parity(reference_pth, tmp_path):
 
 def test_wrong_preset_is_a_clear_error(reference_pth, tmp_path):
     pth, _, _ = reference_pth
-    with pytest.raises(ValueError, match="preset"):
-        # morgan2048 expects a 2048-bit CNN: every fp-dependent shape differs
+    with pytest.raises(ValueError, match="preset"), \
+            pytest.warns(UserWarning, match="bit POSITIONS"):
+        # morgan2048 expects a 2048-bit CNN: every fp-dependent shape
+        # differs (the interchange caveat fires before the shape check)
         import_reference_checkpoint(pth, str(tmp_path / "x.msgpack"),
                                     preset="morgan2048",
                                     max_nodes=MAX_NODES,
@@ -105,8 +109,9 @@ def test_cli(reference_pth, tmp_path, capsys):
 
     pth, _, _ = reference_pth
     out = str(tmp_path / "cli.msgpack")
-    main(["import", pth, out, "--preset", "flagship",
-          "--max-nodes", str(MAX_NODES), "--max-edges", str(MAX_EDGES)])
+    with pytest.warns(UserWarning, match="bit POSITIONS"):
+        main(["import", pth, out, "--preset", "flagship",
+              "--max-nodes", str(MAX_NODES), "--max-edges", str(MAX_EDGES)])
     assert "imported" in capsys.readouterr().out
     import os
     assert os.path.exists(out) and os.path.exists(out + ".json")
@@ -119,8 +124,9 @@ def test_export_round_trip(reference_pth, tmp_path, capsys):
 
     pth, _, sk_scaler = reference_pth
     native = str(tmp_path / "native.msgpack")
-    main(["import", pth, native, "--preset", "flagship",
-          "--max-nodes", str(MAX_NODES), "--max-edges", str(MAX_EDGES)])
+    with pytest.warns(UserWarning, match="bit POSITIONS"):
+        main(["import", pth, native, "--preset", "flagship",
+              "--max-nodes", str(MAX_NODES), "--max-edges", str(MAX_EDGES)])
     back = str(tmp_path / "back.pth")
     main(["export", native, back])
     assert "exported" in capsys.readouterr().out
