@@ -51,6 +51,13 @@ def main():
                     help="scan body batch for both stages")
     ap.add_argument("--no-write", action="store_true",
                     help="don't write BENCH_EXPLAIN.json (sweep mode)")
+    ap.add_argument("--sweep-batches", type=int, nargs="*", default=None,
+                    help="additionally measure stage 3 at these scan "
+                         "batch sizes (rows land in stage3_batch_sweep)")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of one warm "
+                         "stage-3 dispatch to profiles/explain_stage3 "
+                         "(analyze with scripts/analyze_trace.py)")
     args = ap.parse_args()
     batch = args.batch
     sm, y = load_csv(TEST_CSV)
@@ -146,6 +153,39 @@ def main():
     s3 = best_of(stage3, nb * batch,
                  "stage3 GNNExplainer (100-step mask opt, scan-fused)")
 
+    if args.profile:
+        import jax.profiler as _prof
+        stage3()  # ensure warm (already warmed by best_of, but explicit)
+        outdir = os.path.join(os.path.dirname(__file__), "..",
+                              "profiles", f"explain_stage3_bs{batch}")
+        with _prof.trace(outdir):
+            stage3()
+        print(f"[bench_explain] stage-3 trace -> {outdir}", file=sys.stderr)
+
+    sweep_rows = []
+    if args.sweep_batches:
+        # fixed 512-molecule selection (wraps the test set) so every
+        # batch size divides it exactly — pure device throughput vs
+        # batch, no padding artifacts in the mol/s comparison
+        n_sweep = 512
+        sel_sw = np.resize(np.linspace(0, n_mol - 1, n_sel).astype(np.int32),
+                           n_sweep)
+        for b in args.sweep_batches:
+            nb_sw = -(-n_sweep // b)
+            perm_sw = jnp.asarray(np.resize(sel_sw, nb_sw * b)
+                                  .reshape(nb_sw, b))
+
+            def stage3_sw():
+                imps = jax.block_until_ready(
+                    gexp(nodes_d, edges_d, emask_d, nmask_d, perm_sw,
+                         jax.random.PRNGKey(42)))
+                np.asarray(imps)
+
+            r = best_of(stage3_sw, nb_sw * b,
+                        f"stage3 sweep batch={b} ({n_sweep} molecules)")
+            sweep_rows.append({"batch": b, "n_molecules": nb_sw * b,
+                               "mol_per_s": round(r, 1)})
+
     result = {
         "backend": jax.default_backend(),
         "n_molecules": n_mol,
@@ -157,6 +197,8 @@ def main():
                             "the RTT and is the device rate"),
         "stage3_gnnexplainer_mol_per_s": round(s3, 1),
     }
+    if sweep_rows:
+        result["stage3_batch_sweep"] = sweep_rows
     print(json.dumps(result, indent=2))
     if jax.default_backend() == "tpu" and not args.no_write:
         out = os.path.join(os.path.dirname(__file__), "..",

@@ -127,24 +127,45 @@ def main():
     if args.preset == "flagship" and args.batch_size is None:
         args.batch_size = 128  # preserve the historical default rows
 
+    # Featurize with the preset's own fingerprint so e.g.
+    # --preset ecfp2048 doesn't build a 2048-wide model against a
+    # 1024-wide ds.fp (ADVICE r4).  Presets with fingerprint=None
+    # (graph-only models) keep the historical ecfp1024 dataset — the
+    # fp column is simply unused by their step.
+    fingerprint = get_config(args.preset).fingerprint or "ecfp1024"
     sm, y = load_csv(TRAIN_CSV)
     base = MolecularDataset(sm, y, fit_scaler=True,
-                            fingerprint="ecfp1024", verbose=False)
+                            fingerprint=fingerprint, verbose=False)
     print(f"[bench_scale] base: {len(base)} molecules, "
           f"shapes N={base.max_nodes} E={base.max_edges}", file=sys.stderr)
 
+    device = jax.devices()[0].device_kind
     rows = []
     if args.merge and os.path.exists(args.out):
         with open(args.out) as f:
-            rows = json.load(f)["rows"]
+            prev = json.load(f)
+        if prev.get("device", device) != device:
+            print(f"[bench_scale] WARNING: merging into rows measured on "
+                  f"{prev['device']!r} from a run on {device!r} — the "
+                  f"merged file mixes devices", file=sys.stderr)
+        rows = prev["rows"]
+        for r in rows:  # legacy rows predate the "preset" key (ADVICE r4)
+            r.setdefault("preset", "flagship")
     for n in args.sizes:
         modes = (["float32", "compact"] if args.storage == "both"
                  else [args.storage])
         for storage in modes:
-            rows.append(bench_one(base, n, storage, args.batch_size,
-                                  preset=args.preset))
+            new = bench_one(base, n, storage, args.batch_size,
+                            preset=args.preset)
+            key = tuple(new[k] for k in
+                        ("n_molecules", "storage", "preset", "batch_size"))
+            rows = [r for r in rows
+                    if tuple(r.get(k) for k in ("n_molecules", "storage",
+                                                "preset", "batch_size"))
+                    != key]  # newest measurement wins
+            rows.append(new)
 
-    out = {"device": jax.devices()[0].device_kind, "rows": rows}
+    out = {"device": device, "rows": rows}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
