@@ -51,7 +51,12 @@ __all__ = ["PredictionServer", "make_server", "serve_until_signalled",
 
 MAX_BODY_BYTES = 16 << 20   # 16 MiB ≈ 200k generous SMILES per request
 MAX_BATCH = 100_000
-MAX_COALESCE = 4096         # molecules per merged dispatch (bucket cap)
+# Molecules per merged dispatch (bucket cap).  Measured (BENCH_INFER.json,
+# round 5): warm device throughput is flat from batch 256 through 4096
+# (no knee — ~270-330k mol/s across the ladder, per-batch latency linear),
+# so the cap trades nothing in device rate and one big dispatch amortizes
+# the per-dispatch round trip that dominates small batches.
+MAX_COALESCE = 4096
 
 
 class _Pending:
