@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import optax
 
 from ..ops import dense_adjacency
+from ..ops.graph import dense_adjacency_einsum
 
 __all__ = ["make_gnn_explainer", "make_scan_gnn_explainer"]
 
@@ -63,10 +64,10 @@ def _optimize_masks(graph_apply: Callable, tx, epochs: int, nodes,
         fm = jax.nn.sigmoid(p["feat"])
         em = jax.nn.sigmoid(p["edge"])
         masked_nodes = nodes * fm
-        # scatter path: the learned edge mask is DIFFERENTIATED here,
-        # and the Pallas builder defines no VJP
-        adj = dense_adjacency(edges, edge_mask * em, n,
-                              use_pallas=False)
+        # one-hot MXU formulation: the learned edge mask is
+        # DIFFERENTIATED here; the scatter path's forward + VJP were
+        # 73% of the mask step (round-5 trace, ops/graph.py docstring)
+        adj = dense_adjacency_einsum(edges, edge_mask * em, n)
         pred = graph_apply(masked_nodes, adj, node_mask)
         mse = ((pred - target) ** 2).sum()
         valid_e = edge_mask

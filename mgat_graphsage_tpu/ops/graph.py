@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "dense_adjacency",
+    "dense_adjacency_einsum",
     "add_self_loops",
     "degree",
     "masked_softmax",
@@ -68,6 +69,32 @@ def dense_adjacency(edges: jnp.ndarray, edge_mask: jnp.ndarray,
         return jnp.minimum(adj, 1.0)
 
     return jax.vmap(one)(edges, edge_mask)
+
+
+def dense_adjacency_einsum(edges: jnp.ndarray, edge_mask: jnp.ndarray,
+                           num_nodes: int) -> jnp.ndarray:
+    """:func:`dense_adjacency` as a batched one-hot MXU contraction —
+    the formulation to use when ``edge_mask`` is DIFFERENTIATED.
+
+    Same math (``adj[b, dst, src] = min(sum_e mask_e, 1)``), but both
+    the forward and the VJP w.r.t. ``edge_mask`` are batched matmuls
+    instead of scatter/gather: inside GNNExplainer's 100-step mask
+    optimization, the scatter path's forward + transpose lowered to two
+    serial kCustom ops costing 73% of the whole stage (206 us of the
+    282 us mask step — profiles/explain_stage3_bs64/OPS.json
+    fusion.513/fusion.524, round 5).  The one-hot operands depend only
+    on ``edges``, which is loop-invariant in the mask optimization, so
+    XLA hoists them out of the scan.
+    """
+    src, dst = edges[..., 0, :], edges[..., 1, :]         # [B, E]
+    n_iota = jnp.arange(num_nodes, dtype=edges.dtype)
+    d1 = (dst[..., None, :] == n_iota[:, None]).astype(jnp.float32)
+    s1 = (src[..., None, :] == n_iota[:, None]).astype(jnp.float32)
+    s1 = s1 * edge_mask[..., None, :]
+    # adj[b, i, j] = sum_e d1[b, i, e] s1[b, j, e]
+    adj = jax.lax.dot_general(d1, s1, (((2,), (2,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    return jnp.minimum(adj, 1.0)
 
 
 def add_self_loops(adj: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:

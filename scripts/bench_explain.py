@@ -196,6 +196,16 @@ def main():
                             "trip (relay-bound); the 16k row amortizes "
                             "the RTT and is the device rate"),
         "stage3_gnnexplainer_mol_per_s": round(s3, 1),
+        "stage3_note": (
+            "round 5: the mask-opt adjacency build moved from the "
+            "scatter path (fwd + VJP were 73% of the mask step — "
+            "fusion.513/524 in the 2026_08_21_01_33 trace under "
+            "profiles/explain_stage3_bs64) to the one-hot MXU einsum "
+            "(ops/graph.py::dense_adjacency_einsum), 1527->2673 mol/s "
+            "at the 200-molecule production scale and 1817->4359 "
+            "device rate at 512 molecules; the re-traced step "
+            "(2026_08_21_01_50) has no dominant op left — it is "
+            "model fwd/bwd composition (largest op 15.6%)"),
     }
     if sweep_rows:
         result["stage3_batch_sweep"] = sweep_rows
