@@ -79,17 +79,23 @@ class TorchLinear(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, params_only: bool = False):
         fan_in = x.shape[-1]
         bound = 1.0 / math.sqrt(fan_in)
         kernel = self.param("kernel", _uniform_init(bound),
                             (fan_in, self.features))
+        bias = (self.param("bias", _uniform_init(bound), (self.features,))
+                if self.use_bias else None)
+        if params_only:
+            # create the params (identical tree/init) but let the caller
+            # compute — used by CNNNet's fused-Pallas-backward path,
+            # where the whole conv+fc1 chain is one custom_vjp function
+            return kernel, bias
         # f32 MXU accumulation, result stored back in the activation dtype
         # (bf16 end-to-end under TrainConfig.compute_dtype='bfloat16')
         y = jnp.dot(x, kernel,
                     preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
-            bias = self.param("bias", _uniform_init(bound), (self.features,))
             y = y + bias
         return y
 
@@ -126,12 +132,17 @@ class TorchConv1d(nn.Module):
     kernel_size: int = 3
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, ncw: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ncw: bool = False,
+                 params_only: bool = False):
         in_ch = x.shape[1] if ncw else x.shape[-1]
         bound = 1.0 / math.sqrt(in_ch * self.kernel_size)
         kernel = self.param("kernel", _uniform_init(bound),
                             (self.kernel_size, in_ch, self.features))
         bias = self.param("bias", _uniform_init(bound), (self.features,))
+        if params_only:
+            # see TorchLinear: param creation without compute, for the
+            # fused-Pallas-backward CNN path
+            return kernel, bias
         dn = ("NCW", "WIO", "NCW") if ncw else ("NWC", "WIO", "NWC")
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype), (1,), "SAME",
@@ -498,32 +509,52 @@ class CNNNet(nn.Module):
     output_dim: int
     fc_hidden: int = 256
     dropout: float = 0.3
+    pallas_bwd: bool = False
 
     @nn.compact
     def __call__(self, fp: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        # One layout for every dtype: TPU-standard NWC.  (Round 3 ran
-        # bf16 in torch's NCW to help the then-channel-major flatten;
-        # with the pos-major flatten below, NCW and NWC compile to the
-        # IDENTICAL program — traced, profiles/bf16_full_bs256_posmajor
-        # — so the dual path was retired.)
-        x = fp[..., None]  # [B, nbits] -> [B, nbits, 1]
-        for i, ch in enumerate((32, 64, 128)):
-            x = TorchConv1d(features=ch, name=f"conv{i + 1}")(x)
-            x = nn.relu(x)
-        # POS-MAJOR flatten (divergence from torch's channel-major
-        # x.view(B, -1), reference train.py:141): [B, W, C] -> [B, W*C]
-        # is the physically free reshape — XLA lays conv output out
-        # position-minor, so torch's channel-major flatten costs a
-        # materialized copy each way (412 us/step at batch 256, 13% of
-        # the step — profiles/bf16_full_bs256/OPS.json
-        # copy.387/copy.403).  The fc1 kernel rows are stored pos-major
-        # (row = w*128 + c) to match; torch interchange permutes ONCE
-        # at conversion (cnn_fc1_torch_to_pos_major), so checkpoints
-        # and parity are exact.  Measured: 77.9k -> 84.6k mol/s at
-        # batch 256 (BENCH_STEP.json), 59.0k -> 70.0k at batch 128.
-        x = x.reshape(x.shape[0], -1)
-        x = TorchLinear(self.fc_hidden, name="fc1")(x)
+        from ..ops.pallas_cnn import chain_shapes_supported, cnn_tail
+
+        if self.pallas_bwd and chain_shapes_supported(fp.shape[0],
+                                                      self.input_dim):
+            # Fused Pallas backward (ops/pallas_cnn.py): identical param
+            # tree (params_only creates them through the same submodule
+            # scopes), identical forward math, hand-tiled backward.
+            dt = fp.dtype
+            k1, b1 = TorchConv1d(32, name="conv1")(fp[..., None],
+                                                   params_only=True)
+            k2, b2 = TorchConv1d(64, name="conv2")(
+                jnp.zeros((1, 1, 32), dt), params_only=True)
+            k3, b3 = TorchConv1d(128, name="conv3")(
+                jnp.zeros((1, 1, 64), dt), params_only=True)
+            fk, fb = TorchLinear(self.fc_hidden, name="fc1")(
+                jnp.zeros((1, self.input_dim * 128), dt), params_only=True)
+            x = cnn_tail(fp, k1, b1, k2, b2, k3, b3, fk, fb,
+                         jax.default_backend() != "tpu")
+        else:
+            # One layout for every dtype: TPU-standard NWC.  (Round 3 ran
+            # bf16 in torch's NCW to help the then-channel-major flatten;
+            # with the pos-major flatten below, NCW and NWC compile to the
+            # IDENTICAL program — traced, profiles/bf16_full_bs256_posmajor
+            # — so the dual path was retired.)
+            x = fp[..., None]  # [B, nbits] -> [B, nbits, 1]
+            for i, ch in enumerate((32, 64, 128)):
+                x = TorchConv1d(features=ch, name=f"conv{i + 1}")(x)
+                x = nn.relu(x)
+            # POS-MAJOR flatten (divergence from torch's channel-major
+            # x.view(B, -1), reference train.py:141): [B, W, C] -> [B, W*C]
+            # is the physically free reshape — XLA lays conv output out
+            # position-minor, so torch's channel-major flatten costs a
+            # materialized copy each way (412 us/step at batch 256, 13% of
+            # the step — profiles/bf16_full_bs256/OPS.json
+            # copy.387/copy.403).  The fc1 kernel rows are stored pos-major
+            # (row = w*128 + c) to match; torch interchange permutes ONCE
+            # at conversion (cnn_fc1_torch_to_pos_major), so checkpoints
+            # and parity are exact.  Measured: 77.9k -> 84.6k mol/s at
+            # batch 256 (BENCH_STEP.json), 59.0k -> 70.0k at batch 128.
+            x = x.reshape(x.shape[0], -1)
+            x = TorchLinear(self.fc_hidden, name="fc1")(x)
         x = nn.relu(x)
         x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
         return TorchLinear(self.output_dim, name="fc2")(x)

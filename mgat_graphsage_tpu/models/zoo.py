@@ -122,6 +122,7 @@ class HybridModel(nn.Module):
     residual: bool = True
     flat_attention: bool = False
     dual_pool: bool = False
+    cnn_pallas_bwd: bool = False
 
     @nn.compact
     def __call__(self, nodes: jnp.ndarray, adj: jnp.ndarray,
@@ -134,7 +135,8 @@ class HybridModel(nn.Module):
             dropout=self.graph_dropout, name="gat_graphsage")(
                 nodes, adj, node_mask, deterministic=deterministic)
         cnn_out = CNNNet(input_dim=self.fp_dim, output_dim=self.fp_dim,
-                         fc_hidden=self.cnn_fc_hidden, name="cnn")(
+                         fc_hidden=self.cnn_fc_hidden,
+                         pallas_bwd=self.cnn_pallas_bwd, name="cnn")(
                              fp, deterministic=deterministic)
         latent = jnp.concatenate([graph_out, cnn_out], axis=-1)
         pred = CombinedNet(hidden_dim=self.combined_hidden, output_dim=1,

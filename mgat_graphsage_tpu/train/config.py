@@ -105,6 +105,20 @@ class TrainConfig:
     # activations are small next to the 36M-param optimizer state, so
     # remat only pays at very large batch.
     remat: bool = False
+    # Fused Pallas backward for the CNN branch (ops/pallas_cnn.py):
+    # conv1->conv2->conv3->flatten->fc1 backward as two hand-tiled
+    # kernels.  MEASURED SLOWER at the flagship shape (16.24 vs 9.64
+    # ms/step at bf16 bs 1024, BENCH_STEP.json bf16_full_pl_bs1024):
+    # XLA relays the conv-layout activations to pallas's fixed default
+    # operand layout (~2.9 ms of copies) and Mosaic's matmul limits
+    # force per-step operand merges that hold the chain kernel at ~3x
+    # its roofline — full post-mortem in ops/pallas_cnn.py +
+    # docs/DESIGN.md.  Kept as a parity-tested opt-in (gradients match
+    # XLA AD to the bf16 noise floor; forward bit-identical).
+    # Single-chip only: Trainer silently falls back to XLA AD under a
+    # model-parallel mesh or for shapes outside
+    # chain_shapes_supported.  OFF in every preset.
+    cnn_pallas_bwd: bool = False
     # Device-resident dataset storage ("float32" | "compact").  The
     # epoch scan keeps the whole dataset in HBM; "compact" packs it
     # ~5.4x smaller (int8 one-hot nodes, uint8 edge indices, bit-packed

@@ -77,7 +77,8 @@ def build_model(cfg: TrainConfig):
             cnn_fc_hidden=cfg.cnn_fc_hidden,
             attention=cfg.attention, residual=cfg.residual,
             flat_attention=cfg.flat_attention, dual_pool=cfg.dual_pool,
-            graph_dropout=cfg.graph_dropout)
+            graph_dropout=cfg.graph_dropout,
+            cnn_pallas_bwd=cfg.cnn_pallas_bwd)
     if cfg.model == "gat_graphsage":
         return GATGraphSAGE(
             attention=cfg.attention, residual=cfg.residual,
@@ -170,13 +171,18 @@ class Trainer:
         self.cfg = cfg
         self.train_ds = train_ds
         self.val_ds = val_ds
+        self.mesh = mesh or (make_mesh() if use_mesh else None)
+        if cfg.cnn_pallas_bwd and self.mesh is not None:
+            # the fused CNN backward's pallas_call has no GSPMD
+            # partitioning rule — fall back to XLA AD under a mesh
+            cfg = cfg.replace(cnn_pallas_bwd=False)
+            self.cfg = cfg
         self.model = build_model(cfg)
         steps_per_epoch = max(
             -(-len(train_ds) // cfg.batch_size), 1)
         self._total_steps = cfg.epochs * steps_per_epoch
         self.tx = make_optimizer(cfg, total_steps=self._total_steps)
         self._lr = _lr_schedule(cfg, self._total_steps)
-        self.mesh = mesh or (make_mesh() if use_mesh else None)
         self.ckpt_dir = ckpt_dir
         self.log_path = log_path
         self.scaler = train_ds.scaler

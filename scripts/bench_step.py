@@ -44,6 +44,11 @@ CONFIGS = {
     "bf16_full_fv": {"adam_moment_dtype": "bfloat16",
                      "compute_dtype": "bfloat16",
                      "adam_factored_v": True},
+    # round 5: fused Pallas CNN backward (ops/pallas_cnn.py) — shapes
+    # gate at batch >= 256, so bench at bs 256+ only
+    "bf16_full_pl": {"adam_moment_dtype": "bfloat16",
+                     "compute_dtype": "bfloat16",
+                     "cnn_pallas_bwd": True},
 }
 # (a bf16 grad-storage variant measured identical to bf16_full —
 # 2.465 vs 2.471 ms/step — XLA already fuses backward into the
@@ -96,6 +101,9 @@ def main():
     ap.add_argument("--fv-batch-sizes", type=int, nargs="*", default=[],
                     help="also time bf16_full_fv (factored v) at these "
                          "batch sizes")
+    ap.add_argument("--pl-batch-sizes", type=int, nargs="*", default=[],
+                    help="also time bf16_full_pl (fused Pallas CNN "
+                         "backward) at these batch sizes (>= 256)")
     ap.add_argument("--configs", nargs="*", default=None,
                     choices=sorted(CONFIGS),
                     help="subset of CONFIGS to run (default: all); "
@@ -119,6 +127,10 @@ def main():
     for bs in args.fv_batch_sizes:
         rows.append(bench_config(f"bf16_full_fv_bs{bs}",
                                  CONFIGS["bf16_full_fv"], ds, bs,
+                                 args.steps))
+    for bs in args.pl_batch_sizes:
+        rows.append(bench_config(f"bf16_full_pl_bs{bs}",
+                                 CONFIGS["bf16_full_pl"], ds, bs,
                                  args.steps))
     out = {"device": jax.devices()[0].device_kind, "rows": rows}
     if set(chosen) == set(CONFIGS):
