@@ -51,10 +51,13 @@ def dense_adjacency(edges: jnp.ndarray, edge_mask: jnp.ndarray,
     On TPU, batches divisible by the kernel group ride the Pallas
     builder (`ops/pallas_adjacency.py`, measured 2.1x the scatter
     lowering, bit-identical); other shapes/backends use the vmapped
-    scatter-add below.  Pass ``use_pallas=False`` when ``edge_mask``
-    must be DIFFERENTIATED (GNNExplainer mask optimization) — the
-    kernel defines no VJP because adjacency is a constant w.r.t.
-    parameters on every training/inference path.
+    scatter-add below.  When ``edge_mask`` must be DIFFERENTIATED
+    (GNNExplainer mask optimization), use
+    :func:`dense_adjacency_einsum` — the Pallas kernel defines no VJP,
+    and this scatter path's forward + VJP lower to serial kCustom ops
+    (measured 73% of the mask step, profiles/explain_stage3_bs64);
+    ``use_pallas=False`` remains for parity tests of the scatter
+    lowering itself.
     """
     if (use_pallas and edges.ndim == 3
             and jax.default_backend() == "tpu"
