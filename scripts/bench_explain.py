@@ -58,6 +58,16 @@ def main():
                     help="capture a jax.profiler trace of one warm "
                          "stage-3 dispatch to profiles/explain_stage3 "
                          "(analyze with scripts/analyze_trace.py)")
+    ap.add_argument("--profile-stage1", action="store_true",
+                    help="capture a trace of one warm 16k stage-1 "
+                         "dispatch to profiles/explain_stage1")
+    ap.add_argument("--sweep-stage1-batches", type=int, nargs="*",
+                    default=None,
+                    help="measure the 16k stage-1 dispatch at these "
+                         "scan batch sizes (same-process rows — "
+                         "cross-session relay variance makes separate "
+                         "runs incomparable); rows land in "
+                         "stage1_batch_sweep")
     args = ap.parse_args()
     batch = args.batch
     sm, y = load_csv(TEST_CSV)
@@ -136,6 +146,29 @@ def main():
     s1_big = best_of(stage1_big, len(big),
                      "stage1 gradient importance @16k (RTT-amortized)")
 
+    if args.profile_stage1:
+        import jax.profiler as _prof
+        outdir = os.path.join(os.path.dirname(__file__), "..",
+                              "profiles", f"explain_stage1_bs{batch}")
+        with _prof.trace(outdir):
+            stage1_big()
+        print(f"[bench_explain] stage-1 trace -> {outdir}", file=sys.stderr)
+
+    stage1_sweep = []
+    if args.sweep_stage1_batches:
+        for b1 in args.sweep_stage1_batches:
+            perm_b = jnp.asarray(_batch_perm(len(big), b1))
+
+            def stage1_b():
+                raw, preds = jax.block_until_ready(
+                    grad_all(bnodes, bedges, bemask, bnmask, perm_b))
+                np.asarray(raw)
+
+            r = best_of(stage1_b, len(big),
+                        f"stage1 sweep batch={b1} (16k, device only)")
+            stage1_sweep.append({"batch": b1, "n_molecules": len(big),
+                                 "mol_per_s": round(r, 1)})
+
     # ---- Stage 3: one scan dispatch over the 200-molecule selection ----
     gexp = make_scan_gnn_explainer(graph_apply)
     n_sel = 200
@@ -209,6 +242,8 @@ def main():
     }
     if sweep_rows:
         result["stage3_batch_sweep"] = sweep_rows
+    if stage1_sweep:
+        result["stage1_batch_sweep"] = stage1_sweep
     print(json.dumps(result, indent=2))
     if jax.default_backend() == "tpu" and not args.no_write:
         out = os.path.join(os.path.dirname(__file__), "..",
