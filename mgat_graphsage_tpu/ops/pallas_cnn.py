@@ -75,8 +75,9 @@ from jax.experimental import pallas as pl
 __all__ = ["cnn_tail", "cnn_chain_bwd", "chain_shapes_supported"]
 
 # W-tile core width for kernel 2 (window = WT2 + 2*HALO) and kernel 1
-# tile; B-tile for kernel 2. Chosen for ~8-10 MB VMEM residency on the
-# 16 MB v5e VMEM at the flagship shapes ([1024, 1024, 128] conv3 out).
+# tile; B-tile for kernel 2.  BT2=64 is the largest B-tile whose
+# scoped-VMEM stack fits the 16 MB v5e limit at the flagship shapes
+# (BT2=128 compiled to a 22.2 MB stack and was rejected).
 WT1 = 8
 WT2 = 32
 BT2 = 64

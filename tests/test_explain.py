@@ -196,6 +196,29 @@ def test_scan_gradient_explainer_matches_per_batch():
                                np.asarray(preds_ref), rtol=1e-6, atol=1e-6)
 
 
+def test_stage1_batch_invariance():
+    """Stage-1 importances are identical at any scan batch size (the
+    round-5 stage1_batch=512 default rests on this: changing the scan
+    body batch amortizes overhead without touching results)."""
+    from mgat_graphsage_tpu.explain import make_scan_gradient_explainer
+    from mgat_graphsage_tpu.explain.pipeline import _batch_perm
+
+    smiles = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "c1ccncc1"]
+    nodes, edges, edge_mask, node_mask = _padded(smiles)
+    w = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (35, 1))
+    scan = make_scan_gradient_explainer(_toy_graph_apply(w))
+
+    outs = []
+    for b in (2, 5):
+        perm = jnp.asarray(_batch_perm(len(smiles), b))
+        raw, preds = scan(nodes, edges, edge_mask, node_mask, perm)
+        outs.append((np.asarray(raw)[:5], np.asarray(preds)[:5]))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=2e-6,
+                               atol=2e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=2e-6,
+                               atol=2e-6)
+
+
 def test_process_node_importance_batch_matches_scalar():
     from mgat_graphsage_tpu.explain import process_node_importance_batch
 
